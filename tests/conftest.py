@@ -1,0 +1,42 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Must set the env vars before anything imports jax, hence top-of-conftest.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_ROOT)
+
+
+def import_reference_module(name):
+    """Import a module from the PyTorch reference with its optional G2P deps stubbed.
+
+    Only used to verify numerical parity in tests; never at runtime.
+    """
+    import types
+    import importlib
+
+    for stub in ["phonemizer", "phonemizer.backend", "dragonmapper",
+                 "dragonmapper.transcriptions", "pypinyin"]:
+        if stub not in sys.modules:
+            mod = types.ModuleType(stub)
+            sys.modules[stub] = mod
+    sys.modules["phonemizer.backend"].EspeakBackend = object
+    sys.modules["dragonmapper.transcriptions"].pinyin_to_ipa = lambda x: x
+    sys.modules["pypinyin"].pinyin = lambda x: [[x]]
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    return importlib.import_module(name)
