@@ -6,10 +6,16 @@ Must set the env vars before anything imports jax, hence top-of-conftest.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon/TPU default
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# sitecustomize may have imported jax already (with JAX_PLATFORMS=axon baked
+# into the config), so force the platform through the config as well.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -29,13 +35,19 @@ def import_reference_module(name):
     import importlib
 
     for stub in ["phonemizer", "phonemizer.backend", "dragonmapper",
-                 "dragonmapper.transcriptions", "pypinyin"]:
+                 "dragonmapper.transcriptions", "pypinyin", "librosa",
+                 "librosa.display", "matplotlib", "matplotlib.pyplot",
+                 "matplotlib.lines", "pyloudnorm", "soundfile", "torchaudio",
+                 "torchaudio.transforms"]:
         if stub not in sys.modules:
             mod = types.ModuleType(stub)
             sys.modules[stub] = mod
     sys.modules["phonemizer.backend"].EspeakBackend = object
     sys.modules["dragonmapper.transcriptions"].pinyin_to_ipa = lambda x: x
     sys.modules["pypinyin"].pinyin = lambda x: [[x]]
+    sys.modules["matplotlib"].pyplot = sys.modules["matplotlib.pyplot"]
+    sys.modules["matplotlib.lines"].Line2D = object
+    sys.modules["librosa"].display = sys.modules["librosa.display"]
 
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
