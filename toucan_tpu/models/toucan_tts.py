@@ -60,6 +60,7 @@ class ToucanTTSConfig:
     glow_hidden: int = 192
     glow_kernel: int = 5
     glow_layers: int = 4
+    glow_sqz: int = 2
     dtype: jnp.dtype = jnp.float32
 
 
@@ -175,16 +176,19 @@ class ToucanTTS(nn.Module):
         if utterance_embedding is not None:
             utterance_embedding = _l2_normalize(utterance_embedding)
         text_mask = make_non_pad_mask(text_lengths, tmax)
+        text_cmask = text_mask[..., None].astype(text.dtype)
         encoded = self.encoder(text, text_mask[:, None, :],
                                utterance_embedding=utterance_embedding,
-                               lang_ids=lang_ids)
+                               lang_ids=lang_ids, conv_mask=text_cmask)
 
-        pitch = (self.pitch_predictor(encoded, utt_embed=utterance_embedding)
+        pitch = (self.pitch_predictor(encoded, utt_embed=utterance_embedding,
+                                      input_mask=text_cmask)
                  if gold_pitch is None else gold_pitch)
-        energy = (self.energy_predictor(encoded, utt_embed=utterance_embedding)
+        energy = (self.energy_predictor(encoded, utt_embed=utterance_embedding,
+                                        input_mask=text_cmask)
                   if gold_energy is None else gold_energy)
         durations = (self.duration_predictor(encoded, utt_embed=utterance_embedding,
-                                             is_inference=True)
+                                             is_inference=True, input_mask=text_cmask)
                      if gold_durations is None else gold_durations.astype(jnp.int32))
 
         # linguistic fixes + control knobs (vectorized)
@@ -205,18 +209,29 @@ class ToucanTTS(nn.Module):
         pitch = _scale_variance(pitch, pitch_variance_scale)
         energy = _scale_variance(energy, energy_variance_scale)
 
-        enriched = encoded + self.pitch_embed(pitch) + self.energy_embed(energy)
-        upsampled = length_regulate(enriched, regulate_durations(durations), max_frames)
-        mel_lengths = jnp.sum(durations, axis=1)
+        # all-zero fallback mutates the durations that get returned, like the
+        # reference's in-place LengthRegulator hack (LengthRegulator.py:52-53)
+        durations = regulate_durations(durations)
+        durations = jnp.where(text_mask, durations, 0)
 
-        decoded = self.decoder(upsampled, None)
+        enriched = encoded + self.pitch_embed(pitch) + self.energy_embed(energy)
+        upsampled = length_regulate(enriched, durations, max_frames)
+        mel_lengths = jnp.sum(durations, axis=1)
+        frame_mask = make_non_pad_mask(mel_lengths, max_frames)
+        frame_cmask = frame_mask[..., None].astype(enriched.dtype)
+
+        decoded = self.decoder(upsampled, frame_mask[:, None, :], conv_mask=frame_cmask)
         before_outs = self.feat_out(decoded)
-        after_outs = before_outs + self.conv_postnet(before_outs)
+        after_outs = before_outs + self.conv_postnet(before_outs, mask=frame_cmask)
 
         if run_glow:
             if glow_noise is None:
                 glow_noise = jnp.zeros_like(after_outs)
-            after_outs = self.post_flow.sample(glow_noise, after_outs, upsampled)
+            after_outs = self.post_flow.sample(glow_noise, after_outs, upsampled,
+                                               nonpadding=frame_cmask)
+            # the flow's time-squeeze drops a trailing odd frame, exactly as
+            # the reference's squeeze/unsqueeze truncation does
+            mel_lengths = (mel_lengths // self.config.glow_sqz) * self.config.glow_sqz
         return before_outs, after_outs, durations, pitch, energy, mel_lengths
 
 

@@ -36,7 +36,8 @@ class ConformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, pos_emb, mask=None, deterministic=True, train=False):
+    def __call__(self, x, pos_emb, mask=None, deterministic=True, train=False,
+                 conv_mask=None):
         ln = lambda name: nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name=name)
         drop = nn.Dropout(self.dropout_rate, deterministic=deterministic)
         ff_scale = 0.5 if self.macaron else 1.0
@@ -60,7 +61,7 @@ class ConformerBlock(nn.Module):
             x = ln("norm_conv")(x)
             x = residual + drop(
                 ConformerConvModule(self.size, self.cnn_kernel, dtype=self.dtype,
-                                    name="conv_module")(x, train=train))
+                                    name="conv_module")(x, train=train, mask=conv_mask))
 
         residual = x
         x = ln("norm_ff")(x)
@@ -104,8 +105,13 @@ class Conformer(nn.Module):
 
     @nn.compact
     def __call__(self, xs, mask=None, utterance_embedding=None, lang_ids=None,
-                 deterministic: bool = True, train: bool = False):
-        """xs: (B, T, idim); mask: (B, 1, T) non-pad bool or None."""
+                 deterministic: bool = True, train: bool = False,
+                 conv_mask=None):
+        """xs: (B, T, idim); mask: (B, 1, T) non-pad bool or None.
+
+        conv_mask (B, T, 1): see ConformerConvModule — pass at inference to
+        make padded batches reproduce exact-length results.
+        """
         if self.use_input_embedding:
             xs = ArticulatoryEmbedding(self.input_embedding_hidden, self.attention_dim,
                                        dtype=self.dtype, name="embed")(xs)
@@ -121,7 +127,7 @@ class Conformer(nn.Module):
             xs = ConformerBlock(self.attention_dim, self.attention_heads, self.linear_units,
                                 self.cnn_kernel, self.dropout_rate, self.attention_dropout_rate,
                                 dtype=self.dtype, name=f"block_{i}")(
-                xs, pos_emb, mask, deterministic, train)
+                xs, pos_emb, mask, deterministic, train, conv_mask)
 
         if self.use_output_norm:
             xs = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="output_norm")(xs)

@@ -24,9 +24,15 @@ class ConformerConvModule(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
+        """mask (B, T, 1): when given, padded frames are zeroed before the
+        depthwise conv so real frames see exactly the zero-padding an
+        exact-length (unpadded) run would — needed for batched inference to
+        reproduce the reference's single-utterance results bit-for-bit."""
         x = nn.Conv(2 * self.channels, (1,), dtype=self.dtype, name="pointwise_conv1")(x)
         x = nn.glu(x, axis=-1)
+        if mask is not None:
+            x = x * mask
         x = nn.Conv(self.channels, (self.kernel_size,), feature_group_count=self.channels,
                     dtype=self.dtype, name="depthwise_conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,

@@ -230,8 +230,10 @@ class Glow(nn.Module):
                                         self.sigmoid_scale, dtype=self.dtype,
                                         name=f"coupling_{b}") for b in range(self.n_blocks)]
 
-    def _condition(self, mel_out, encoded_texts):
+    def _condition(self, mel_out, encoded_texts, nonpadding=None):
         g = jnp.concatenate([mel_out, encoded_texts], axis=-1)
+        if nonpadding is not None:
+            g = g * nonpadding  # emulate exact-length zero padding (k=5 conv)
         return self.g_proj(g)
 
     def _flow(self, x, mask, g, reverse=False):
@@ -273,7 +275,7 @@ class Glow(nn.Module):
         """Reverse pass: z (B, T, 80) noise -> refined mel (B, T, 80)."""
         if nonpadding is None:
             nonpadding = jnp.ones_like(mel_out[..., :1])
-        g = self._condition(mel_out, encoded_texts)
+        g = self._condition(mel_out, encoded_texts, nonpadding)
         x, _ = self._flow(z, nonpadding, g, reverse=True)
         return x
 

@@ -18,15 +18,21 @@ class PostNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, xs, deterministic: bool = True):
+    def __call__(self, xs, deterministic: bool = True, mask=None):
+        """mask (B, T, 1): zero padded frames before each conv so batched
+        inference matches exact-length (unpadded) execution."""
         drop = nn.Dropout(self.dropout_rate, deterministic=deterministic)
         for i in range(self.n_layers - 1):
+            if mask is not None:
+                xs = xs * mask
             xs = nn.Conv(self.n_chans, (self.kernel_size,), use_bias=False,
                          dtype=self.dtype, name=f"conv_{i}")(xs)
             xs = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
                               name=f"gn_{i}")(xs)
             xs = jnp.tanh(xs)
             xs = drop(xs)
+        if mask is not None:
+            xs = xs * mask
         xs = nn.Conv(self.odim, (self.kernel_size,), use_bias=False,
                      dtype=self.dtype, name=f"conv_{self.n_layers - 1}")(xs)
         xs = nn.GroupNorm(num_groups=20, epsilon=1e-5, dtype=self.dtype,

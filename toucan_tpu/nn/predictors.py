@@ -23,8 +23,10 @@ class _ConvStack(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, xs, utt_embed=None, deterministic=True):
+    def __call__(self, xs, utt_embed=None, deterministic=True, input_mask=None):
         for i in range(self.n_layers):
+            if input_mask is not None:
+                xs = xs * input_mask
             xs = nn.Conv(self.n_chans, (self.kernel_size,), dtype=self.dtype,
                          name=f"conv_{i}")(xs)
             xs = nn.relu(xs)
@@ -48,14 +50,14 @@ class DurationPredictor(nn.Module):
 
     @nn.compact
     def __call__(self, xs, padding_mask=None, utt_embed=None, is_inference=False,
-                 deterministic=True):
+                 deterministic=True, input_mask=None):
         """xs (B, T, D) -> (B, T) log-durations (train) or int durations (infer).
 
         padding_mask: (B, T) bool, True on padded positions.
         """
         xs = _ConvStack(self.n_layers, self.n_chans, self.kernel_size, self.dropout_rate,
                         self.utt_embed_dim, dtype=self.dtype, name="stack")(
-            xs, utt_embed, deterministic)[..., 0]
+            xs, utt_embed, deterministic, input_mask)[..., 0]
         if is_inference:
             xs = jnp.maximum(jnp.round(jnp.exp(xs) - self.offset), 0.0).astype(jnp.int32)
         elif padding_mask is not None:
@@ -72,11 +74,12 @@ class VariancePredictor(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, xs, padding_mask=None, utt_embed=None, deterministic=True):
+    def __call__(self, xs, padding_mask=None, utt_embed=None, deterministic=True,
+                 input_mask=None):
         """xs (B, T, D) -> (B, T, 1); padding_mask (B, T, 1) True on pads."""
         xs = _ConvStack(self.n_layers, self.n_chans, self.kernel_size, self.dropout_rate,
                         self.utt_embed_dim, dtype=self.dtype, name="stack")(
-            xs, utt_embed, deterministic)
+            xs, utt_embed, deterministic, input_mask)
         if padding_mask is not None:
             xs = jnp.where(padding_mask, 0.0, xs)
         return xs
