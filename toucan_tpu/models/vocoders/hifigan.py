@@ -1,0 +1,102 @@
+"""HiFiGAN generator (Avocodo variant).
+
+Behavioral equivalent of the reference generator
+(``TrainingInterfaces/Spectrogram_to_Wave/HiFiGAN/HiFiGAN.py:13-179``):
+80-mel at 16 kHz-rate frames -> 24 kHz waveform via 8*6*4*2 = 384x
+upsampling; each stage is a transposed conv followed by three multi-kernel
+residual stacks averaged together; intermediate outputs after stages 2 and
+3 are tapped through 1x1-ish convs for the Avocodo CoMBD discriminator.
+
+Layout is (B, T, C); weight-norm is folded at checkpoint conversion.
+"""
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def conv_transpose_1d(x, kernel, stride: int, padding: int):
+    """Exact torch ``conv_transpose1d`` semantics on (B, T, C).
+
+    kernel is (k, out, in) — the flax-style layout our params use; output
+    length is (T-1)*stride + k - 2*padding.
+    """
+    k = kernel.shape[0]
+    flipped = jnp.flip(kernel, axis=0).transpose(0, 2, 1)  # (k, in, out)
+    return jax.lax.conv_general_dilated(
+        x, flipped, window_strides=(1,),
+        padding=[(k - 1 - padding, k - 1 - padding)],
+        lhs_dilation=(stride,), dimension_numbers=("NHC", "HIO", "NHC"))
+
+
+def leaky_relu(x, slope=0.1):
+    return jnp.where(x >= 0, x, slope * x)
+
+
+class ResidualStack(nn.Module):
+    """Dilated residual block: LReLU->dilated conv->LReLU->conv, 3 rounds."""
+
+    channels: int
+    kernel_size: int
+    dilations: Sequence[int] = (1, 3, 5)
+    slope: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, dilation in enumerate(self.dilations):
+            xt = leaky_relu(x, self.slope)
+            xt = nn.Conv(self.channels, (self.kernel_size,), kernel_dilation=dilation,
+                         dtype=self.dtype, name=f"conv1_{i}")(xt)
+            xt = leaky_relu(xt, self.slope)
+            xt = nn.Conv(self.channels, (self.kernel_size,), dtype=self.dtype,
+                         name=f"conv2_{i}")(xt)
+            x = xt + x
+        return x
+
+
+class HiFiGANGenerator(nn.Module):
+    in_channels: int = 80
+    channels: int = 512
+    kernel_size: int = 7
+    upsample_scales: Tuple[int, ...] = (8, 6, 4, 2)
+    upsample_kernel_sizes: Tuple[int, ...] = (16, 12, 8, 4)
+    resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilations: Tuple[Tuple[int, ...], ...] = ((1, 3, 5),) * 3
+    slope: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, c, return_intermediates: bool = False):
+        """c (B, T, 80) -> wave (B, 384*T, 1) [+ x2, x1 Avocodo taps]."""
+        x = nn.Conv(self.channels, (self.kernel_size,), dtype=self.dtype,
+                    name="input_conv")(c)
+        x1 = x2 = None
+        for i, (scale, up_k) in enumerate(zip(self.upsample_scales,
+                                              self.upsample_kernel_sizes)):
+            ch = self.channels // (2 ** (i + 1))
+            x = leaky_relu(x, self.slope)
+            kernel = self.param(f"upsample_{i}_kernel", nn.initializers.normal(0.01),
+                                (up_k, ch, self.channels // (2 ** i)), self.dtype)
+            bias = self.param(f"upsample_{i}_bias", nn.initializers.zeros, (ch,), self.dtype)
+            x = conv_transpose_1d(x, kernel, scale, (up_k - scale) // 2) + bias
+
+            acc = 0.0
+            for j, (rk, dils) in enumerate(zip(self.resblock_kernel_sizes,
+                                               self.resblock_dilations)):
+                acc = acc + ResidualStack(ch, rk, dils, self.slope, dtype=self.dtype,
+                                          name=f"block_{i}_{j}")(x)
+            x = acc / len(self.resblock_kernel_sizes)
+            if i == 1:
+                x1 = nn.Conv(1, (7,), dtype=self.dtype, name="out_proj_x1")(x)
+            elif i == 2:
+                x2 = nn.Conv(1, (7,), dtype=self.dtype, name="out_proj_x2")(x)
+
+        x = leaky_relu(x, 0.01)  # reference output stage uses default slope
+        x = nn.Conv(1, (self.kernel_size,), dtype=self.dtype, name="output_conv")(x)
+        x = jnp.tanh(x)
+        if return_intermediates:
+            return x, x2, x1
+        return x
