@@ -1,8 +1,12 @@
 """Headline benchmark: audio-seconds synthesized per second per chip.
 
-Runs the HiFiGAN/Avocodo vocoder (the production default) on the available
-accelerator in bf16, mirroring BASELINE.json's north-star metric
+Runs the HiFiGAN/Avocodo vocoder (the production default) in bf16 on the
+available accelerator, mirroring BASELINE.json's north-star metric
 (>= 5000 audio-s/s/chip).  Prints ONE JSON line.
+
+Timing is honest against async dispatch: K vocoder invocations are chained
+data-dependently inside one jit and the measurement spans a host fetch of a
+scalar reduction, so queue-and-return runtimes cannot undercount.
 """
 
 import json
@@ -10,7 +14,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 TARGET = 5000.0  # audio-seconds / s / chip (BASELINE.json north star)
@@ -23,9 +26,9 @@ def main():
     on_tpu = dev.platform != "cpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
-    # 16 kHz-rate mel frames, hop 256 -> each frame is 256/16000 s of audio;
-    # output is 24 kHz (384 samples per frame).
+    # 16 kHz-rate mel frames, hop 256 -> 16 ms of audio per frame.
     batch, frames = (8, 960) if on_tpu else (1, 96)
+    chain = 20 if on_tpu else 2
     audio_seconds = batch * frames * 256 / 16000.0
 
     model = HiFiGANGenerator(dtype=dtype)
@@ -34,20 +37,25 @@ def main():
     variables = jax.jit(model.init)(rng, mel)
 
     @jax.jit
-    def synthesize(v, m):
-        return model.apply(v, m)
+    def synthesize_chain(v, m):
+        def body(i, carry):
+            wave = model.apply(v, carry)
+            # fold an epsilon of the output back in: keeps every iteration
+            # data-dependent so XLA cannot hoist or elide any of them
+            return carry + (1e-12 * jnp.mean(wave)).astype(carry.dtype)
 
-    wave = synthesize(variables, mel)
-    wave.block_until_ready()  # compile
+        return jnp.sum(jax.lax.fori_loop(0, chain, body, m))
 
-    n_iters = 20 if on_tpu else 2
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        wave = synthesize(variables, mel)
-    wave.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_iters
+    jax.device_get(synthesize_chain(variables, mel))  # compile + warm up
 
-    value = audio_seconds / dt
+    reps = 3
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.device_get(synthesize_chain(variables, mel))
+        best = min(best, time.perf_counter() - t0)
+    value = audio_seconds * chain / best
+
     print(json.dumps({
         "metric": "vocoder_audio_seconds_per_second_per_chip",
         "value": round(value, 1),
