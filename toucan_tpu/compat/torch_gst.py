@@ -26,8 +26,8 @@ def convert_style_embedding(sd: dict, conv_layers=8, gru_layers=2):
     for layer in range(gru_layers):
         gru[f"w_ih_{layer}"] = {"kernel": sd[f"gst.ref_enc.gst.weight_ih_l{layer}"].T,
                                 "bias": sd[f"gst.ref_enc.gst.bias_ih_l{layer}"]}
-        gru[f"w_hh_{layer}"] = {"kernel": sd[f"gst.ref_enc.gst.weight_hh_l{layer}"].T,
-                                "bias": sd[f"gst.ref_enc.gst.bias_hh_l{layer}"]}
+        gru[f"w_hh_{layer}_kernel"] = sd[f"gst.ref_enc.gst.weight_hh_l{layer}"].T
+        gru[f"w_hh_{layer}_bias"] = sd[f"gst.ref_enc.gst.bias_hh_l{layer}"]
     ref_enc["gru"] = gru
 
     stl = {"gst_embs": sd["gst.stl.gst_embs"]}

@@ -1,0 +1,94 @@
+"""Device mesh construction and sharding specs.
+
+The reference is strictly single-device (SURVEY.md §2.10); this layer is the
+TPU-native scaling design: a ('data', 'model') mesh where utterance batches
+shard over 'data' (DP across chips/hosts) and the widest weight matrices —
+conformer feed-forward kernels and vocoder channel dims — optionally shard
+over 'model' (Megatron-style column/row split).  XLA inserts the matching
+all-reduces over ICI from the shardings alone; there is no hand-written
+collective in the model code.
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh`` and
+the same code runs across pod slices (DCN handles the cross-host ring).
+"""
+
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model == len(devices), \
+        f"{n_data}x{n_model} mesh cannot use {len(devices)} devices"
+    arr = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(arr, ("data", "model"))
+
+
+# (regex over param path, PartitionSpec) — first match wins.  Kernels are
+# flax Conv (k, in, out) / Dense (in, out) layouts.
+_TP_RULES = [
+    # conformer position-wise FFN: column-split the expansion, row-split the
+    # projection back (classic Megatron pairing; XLA adds one psum per block)
+    (r"feed_forward(_macaron)?/w_1/kernel$", P(None, None, "model")),
+    (r"feed_forward(_macaron)?/w_2/kernel$", P(None, "model", None)),
+    # vocoder residual stacks: shard channels of the wide early stages
+    (r"block_[01]_\d+/conv[12]_\d+/kernel$", P(None, None, "model")),
+]
+
+
+def _spec_for(path_names) -> P:
+    name = "/".join(path_names)
+    for pattern, spec in _TP_RULES:
+        if re.search(pattern, name):
+            return spec
+    return P()
+
+
+def param_sharding_rules(params, mesh: Mesh):
+    """Pytree of NamedShardings: TP rules above, replicated otherwise."""
+
+    def build(tree, path=()):
+        if isinstance(tree, dict):
+            return {k: build(v, path + (k,)) for k, v in tree.items()}
+        return NamedSharding(mesh, _spec_for(path))
+
+    return build(params)
+
+
+def batch_sharding(mesh: Mesh):
+    """Every batch array shards its leading (batch) dim over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def _replicated_like(tree, mesh):
+    return jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)
+
+
+def shard_train_state(state, mesh: Mesh):
+    """NamedShardings for a TrainState: params follow the TP rules, adam
+    moments inherit their parameter's sharding, everything else replicated."""
+    param_sh = param_sharding_rules(state.params, mesh)
+    replicated = NamedSharding(mesh, P())
+
+    def opt_entry(entry):
+        if hasattr(entry, "mu") and hasattr(entry, "nu"):  # ScaleByAdamState
+            return entry._replace(count=replicated, mu=param_sh, nu=param_sh)
+        return replicated  # plain leaf (e.g. schedule step counts)
+
+    opt_sh = jax.tree.map(opt_entry, state.opt_state,
+                          is_leaf=lambda x: hasattr(x, "mu"))
+    return state.replace(
+        params=param_sh,
+        batch_stats=_replicated_like(state.batch_stats, mesh),
+        buffers=_replicated_like(state.buffers, mesh),
+        opt_state=opt_sh,
+        step=replicated,
+        gst_variables=_replicated_like(state.gst_variables, mesh),
+    )

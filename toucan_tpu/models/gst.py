@@ -44,12 +44,18 @@ class TorchGRU(nn.Module):
         b = xs.shape[0]
         h_last = None
         for layer in range(self.layers):
-            w_ih = nn.Dense(3 * self.hidden, dtype=self.dtype, name=f"w_ih_{layer}")
-            w_hh = nn.Dense(3 * self.hidden, dtype=self.dtype, name=f"w_hh_{layer}")
+            # input projection for all timesteps at once (one MXU matmul);
+            # only the recurrent matmul stays inside the scan
+            gi_all = nn.Dense(3 * self.hidden, dtype=self.dtype,
+                              name=f"w_ih_{layer}")(xs)
+            w_hh = self.param(f"w_hh_{layer}_kernel",
+                              nn.initializers.lecun_normal(),
+                              (self.hidden, 3 * self.hidden), self.dtype)
+            b_hh = self.param(f"w_hh_{layer}_bias", nn.initializers.zeros,
+                              (3 * self.hidden,), self.dtype)
 
-            def step(h, x, w_ih=w_ih, w_hh=w_hh):
-                gi = w_ih(x)
-                gh = w_hh(h)
+            def step(h, gi, w_hh=w_hh, b_hh=b_hh):
+                gh = h @ w_hh + b_hh
                 i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
                 h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
                 r = nn.sigmoid(i_r + h_r)
@@ -59,7 +65,7 @@ class TorchGRU(nn.Module):
                 return h_new, h_new
 
             h0 = jnp.zeros((b, self.hidden), self.dtype)
-            h_last, ys = jax.lax.scan(step, h0, xs.transpose(1, 0, 2))
+            h_last, ys = jax.lax.scan(step, h0, gi_all.transpose(1, 0, 2))
             xs = ys.transpose(1, 0, 2)
         return h_last
 
