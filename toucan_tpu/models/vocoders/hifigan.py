@@ -16,6 +16,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from toucan_tpu.kernels.folded_conv import fold_time, folded_conv, unfold_time
+
 
 def conv_transpose_1d(x, kernel, stride: int, padding: int):
     """Exact torch ``conv_transpose1d`` semantics on (B, T, C).
@@ -57,6 +59,55 @@ class ResidualStack(nn.Module):
         return x
 
 
+class _ConvParams(nn.Module):
+    """Bare conv parameters with nn.Conv-compatible naming/shapes, so folded
+    stacks share checkpoints with the unfolded ones."""
+
+    kernel_size: int
+    in_channels: int
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.normal(0.01),
+                            (self.kernel_size, self.in_channels, self.out_channels),
+                            self.dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.out_channels,), self.dtype)
+        return kernel, bias
+
+
+class FoldedResidualStack(nn.Module):
+    """ResidualStack computed on a time-folded (B, T/f, f*C) sequence.
+
+    Identical math and identical parameter tree as ResidualStack — the conv
+    kernels are re-expressed as block-Toeplitz folded kernels at trace time
+    (see kernels/folded_conv.py) so the MXU sees >=128 output lanes.
+    """
+
+    channels: int
+    kernel_size: int
+    fold: int
+    dilations: Sequence[int] = (1, 3, 5)
+    slope: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_folded):
+        for i, dilation in enumerate(self.dilations):
+            k1, b1 = _ConvParams(self.kernel_size, self.channels, self.channels,
+                                 self.dtype, name=f"conv1_{i}")()
+            k2, b2 = _ConvParams(self.kernel_size, self.channels, self.channels,
+                                 self.dtype, name=f"conv2_{i}")()
+            xt = leaky_relu(x_folded, self.slope)
+            xt = folded_conv(xt, k1, b1, self.fold, dilation)
+            xt = leaky_relu(xt, self.slope)
+            xt = folded_conv(xt, k2, b2, self.fold, 1)
+            x_folded = xt + x_folded
+        return x_folded
+
+
 class HiFiGANGenerator(nn.Module):
     in_channels: int = 80
     channels: int = 512
@@ -66,6 +117,8 @@ class HiFiGANGenerator(nn.Module):
     resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
     resblock_dilations: Tuple[Tuple[int, ...], ...] = ((1, 3, 5),) * 3
     slope: float = 0.1
+    min_lanes: int = 128  # fold stages whose channels fall below this
+    use_folding: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -83,12 +136,23 @@ class HiFiGANGenerator(nn.Module):
             bias = self.param(f"upsample_{i}_bias", nn.initializers.zeros, (ch,), self.dtype)
             x = conv_transpose_1d(x, kernel, scale, (up_k - scale) // 2) + bias
 
-            acc = 0.0
-            for j, (rk, dils) in enumerate(zip(self.resblock_kernel_sizes,
-                                               self.resblock_dilations)):
-                acc = acc + ResidualStack(ch, rk, dils, self.slope, dtype=self.dtype,
-                                          name=f"block_{i}_{j}")(x)
-            x = acc / len(self.resblock_kernel_sizes)
+            fold = self.min_lanes // ch if (self.use_folding and ch < self.min_lanes) else 1
+            if fold > 1:
+                x_f = fold_time(x, fold)
+                acc = 0.0
+                for j, (rk, dils) in enumerate(zip(self.resblock_kernel_sizes,
+                                                   self.resblock_dilations)):
+                    acc = acc + FoldedResidualStack(ch, rk, fold, dils, self.slope,
+                                                    dtype=self.dtype,
+                                                    name=f"block_{i}_{j}")(x_f)
+                x = unfold_time(acc / len(self.resblock_kernel_sizes), fold)
+            else:
+                acc = 0.0
+                for j, (rk, dils) in enumerate(zip(self.resblock_kernel_sizes,
+                                                   self.resblock_dilations)):
+                    acc = acc + ResidualStack(ch, rk, dils, self.slope, dtype=self.dtype,
+                                              name=f"block_{i}_{j}")(x)
+                x = acc / len(self.resblock_kernel_sizes)
             if i == 1:
                 x1 = nn.Conv(1, (7,), dtype=self.dtype, name="out_proj_x1")(x)
             elif i == 2:
