@@ -38,7 +38,8 @@ def import_reference_module(name):
                  "dragonmapper.transcriptions", "pypinyin", "librosa",
                  "librosa.display", "matplotlib", "matplotlib.pyplot",
                  "matplotlib.lines", "pyloudnorm", "soundfile", "torchaudio",
-                 "torchaudio.transforms"]:
+                 "torchaudio.transforms", "torch_complex", "torch_complex.tensor",
+                 "parselmouth"]:
         if stub not in sys.modules:
             mod = types.ModuleType(stub)
             sys.modules[stub] = mod
@@ -48,6 +49,11 @@ def import_reference_module(name):
     sys.modules["matplotlib"].pyplot = sys.modules["matplotlib.pyplot"]
     sys.modules["matplotlib.lines"].Line2D = object
     sys.modules["librosa"].display = sys.modules["librosa.display"]
+
+    class _StubComplexTensor:  # only isinstance-checked in Layers/STFT
+        pass
+
+    sys.modules["torch_complex.tensor"].ComplexTensor = _StubComplexTensor
 
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
