@@ -1,0 +1,108 @@
+"""End-to-end inference interface + prosody cloner on tiny random models."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from toucan_tpu.infer.cloner import UtteranceCloner
+from toucan_tpu.infer.interface import ToucanTTSInterface
+from toucan_tpu.models.aligner import Aligner
+from toucan_tpu.models.gst import StyleEmbedding
+from toucan_tpu.models.toucan_tts import ToucanTTS, ToucanTTSConfig
+from toucan_tpu.models.vocoders import HiFiGANGenerator
+
+TINY = ToucanTTSConfig(adim=32, aheads=2, enc_layers=1, enc_units=64, dec_layers=1,
+                       dec_units=64, duration_layers=1, pitch_layers=1,
+                       energy_layers=1, duration_chans=16, pitch_chans=16,
+                       energy_chans=16, glow_blocks=2, glow_hidden=16,
+                       utt_embed_dim=64, lang_embs=100)
+
+IPA = "~ðɪs ɪz ə tˈɛst~#"
+
+
+@pytest.fixture(scope="module")
+def interface():
+    rng = jax.random.PRNGKey(0)
+    model = ToucanTTS(TINY)
+    text = jnp.zeros((1, 8, 62))
+    tts_vars = model.init(rng, text, jnp.array([8]), 32,
+                          utterance_embedding=jnp.zeros((1, 64)),
+                          lang_ids=jnp.zeros((1, 1), jnp.int32),
+                          method=ToucanTTS.infer)
+    voc = HiFiGANGenerator(channels=64)
+    voc_vars = voc.init(rng, jnp.zeros((1, 16, 80)))
+    gst_vars = StyleEmbedding().init(rng, jnp.zeros((1, 20, 80)), jnp.array([20]))
+    iface = ToucanTTSInterface(tts_vars, voc_vars, gst_vars, config=TINY,
+                               language="en", use_g2p=False)
+    iface.vocoder = voc
+    iface._vocoder_cache.clear()
+    return iface
+
+
+def test_basic_synthesis(interface):
+    wave = interface(IPA, input_is_phones=True)
+    assert wave.ndim == 1 and len(wave) % 384 == 0 and len(wave) > 0
+    assert np.isfinite(wave).all()
+
+
+def test_prosody_overrides_control_length(interface):
+    phones = interface.text2phone.string_to_features(IPA, input_phonemes=True)
+    n = len(phones)
+    durations = np.full(n, 4)
+    wave, dur, pit, ene = interface(IPA, input_is_phones=True, durations=durations,
+                                    pitch=np.ones((n, 1)), energy=np.ones((n, 1)),
+                                    return_duration_pitch_energy=True)
+    # word-boundary tokens get zero duration (linguistic fix), glow
+    # truncates to an even frame count
+    from toucan_tpu.frontend.inventory import feature_index
+    wb = phones[:, feature_index()["word-boundary"]] == 1
+    expect_frames = int(durations[~wb].sum()) // 2 * 2
+    assert len(wave) == expect_frames * 384
+    np.testing.assert_array_equal(dur[~wb], durations[~wb])
+    np.testing.assert_array_equal(dur[wb], 0)
+
+
+def test_duration_scaling_changes_length(interface):
+    w1 = interface(IPA, input_is_phones=True)
+    w2 = interface(IPA, input_is_phones=True, duration_scaling_factor=1.5)
+    assert len(w2) >= len(w1)
+
+
+def test_set_utterance_embedding_from_wave(interface):
+    before = interface.default_utterance_embedding.copy()
+    wave = np.sin(2 * np.pi * 220 * np.arange(16000) / 16000).astype(np.float32)
+    interface.set_utterance_embedding(wave=wave, sr=16000)
+    after = interface.default_utterance_embedding
+    assert after.shape == (64,)
+    assert not np.allclose(before, after)
+
+
+def test_read_to_file(interface, tmp_path):
+    out = tmp_path / "out.wav"
+    wav = interface.read_to_file([IPA, IPA], str(out), input_is_phones=True)
+    assert out.exists()
+    assert len(wav) > 2 * 10600
+
+
+def test_cloner_end_to_end(interface):
+    rng = jax.random.PRNGKey(1)
+    aligner_vars = Aligner(conv_dim=64, lstm_dim=32).init(
+        rng, jnp.zeros((1, 20, 80)), jnp.array([20]))
+    cloner = UtteranceCloner(interface, aligner_vars)
+    # patch the tiny aligner into the cloner's calls
+    import toucan_tpu.infer.cloner as cloner_mod
+    orig = cloner_mod.Aligner
+    cloner_mod.Aligner = lambda: orig(conv_dim=64, lstm_dim=32)
+    try:
+        sr = 16000
+        ref = np.concatenate([
+            np.zeros(2000, np.float32),
+            np.sin(2 * np.pi * 180 * np.arange(sr) / sr).astype(np.float32),
+            np.zeros(2000, np.float32)])
+        wave = cloner.clone_utterance(ref, IPA, sr=sr, lang="en",
+                                      input_is_phones=True)
+        assert np.isfinite(wave).all() and len(wave) > 0
+    finally:
+        cloner_mod.Aligner = orig

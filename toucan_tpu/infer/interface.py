@@ -1,0 +1,222 @@
+"""End-to-end TTS facade: text -> articulatory features -> mel -> wave.
+
+Equivalent of the reference ``InferenceInterfaces/ToucanTTSInterface.py``:
+language/accent setters, utterance-embedding setters (from reference audio
+through the GST), prosody-control knobs, per-phone prosody overrides, and
+``read_to_file`` sentence batching with silence joins.
+
+TPU-first: every model call is jitted with bucketed static shapes (phone
+count and mel frames round up to buckets, masks handle the rest), so
+repeated synthesis never recompiles; control knobs are traced scalars.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from toucan_tpu.frontend.audio import AudioPreprocessor
+from toucan_tpu.frontend.text import TextFrontend, language_id
+from toucan_tpu.models.gst import StyleEmbedding
+from toucan_tpu.models.toucan_tts import ToucanTTS, ToucanTTSConfig
+from toucan_tpu.models.vocoders import BigVGAN, HiFiGANGenerator
+
+PHONE_BUCKET = 32
+FRAMES_PER_PHONE = 16       # static upper bound for the upsampled length
+SAMPLES_PER_FRAME = 384     # 24 kHz out / 16 kHz-rate mel frames (hop 256)
+SENTENCE_JOIN_SILENCE = 10600
+
+
+def _round_up(n, m):
+    return max(m, int(math.ceil(n / m)) * m)
+
+
+class ToucanTTSInterface:
+    def __init__(self, tts_variables, vocoder_variables, gst_variables,
+                 default_embedding=None, config: Optional[ToucanTTSConfig] = None,
+                 vocoder: str = "hifigan", language: str = "en",
+                 use_g2p: bool = True, seed: int = 0):
+        self.config = config or ToucanTTSConfig()
+        self.model = ToucanTTS(self.config)
+        self.vocoder_name = vocoder
+        self.vocoder = HiFiGANGenerator() if vocoder == "hifigan" else BigVGAN()
+        self.gst = StyleEmbedding()
+        self.tts_variables = tts_variables
+        self.vocoder_variables = vocoder_variables
+        self.gst_variables = gst_variables
+        self.use_g2p = use_g2p
+        self.audio_preprocessor = AudioPreprocessor(input_sr=16000, output_sr=16000,
+                                                    cut_silence=True)
+        self.set_language(language)
+        self.rng = jax.random.PRNGKey(seed)
+        if default_embedding is None:
+            default_embedding = np.zeros(self.config.utt_embed_dim, np.float32)
+        self.default_utterance_embedding = np.asarray(default_embedding, np.float32)
+        self._infer_cache = {}
+        self._vocoder_cache = {}
+
+    # ------------------------------------------------------------- setters
+
+    def set_language(self, lang: str):
+        self.set_phonemizer_language(lang)
+        self.set_accent_language(lang)
+
+    def set_phonemizer_language(self, lang: str):
+        self.text2phone = TextFrontend(language=lang, use_g2p=self.use_g2p)
+
+    def set_accent_language(self, lang: str):
+        self.lang_id = language_id(lang) if self.config.lang_embs is not None else None
+
+    def set_utterance_embedding(self, path_to_reference_audio: str = "",
+                                embedding=None, wave=None, sr: int = 16000):
+        if embedding is not None:
+            self.default_utterance_embedding = np.asarray(embedding, np.float32).reshape(-1)
+            return
+        if wave is None:
+            import soundfile
+            wave, sr = soundfile.read(path_to_reference_audio)
+        if sr != self.audio_preprocessor.input_sr:
+            self.audio_preprocessor = AudioPreprocessor(input_sr=sr, output_sr=16000,
+                                                        cut_silence=True)
+        spec = self.audio_preprocessor.audio_to_mel_spec_tensor(wave).T  # (T, 80)
+        emb = self.gst.apply(self.gst_variables, jnp.asarray(spec[None]),
+                             jnp.asarray([len(spec)]))
+        self.default_utterance_embedding = np.asarray(emb[0])
+
+    # ----------------------------------------------------------- synthesis
+
+    def _infer_fn(self, n_phones: int, max_frames: int, with_overrides: bool):
+        key = (n_phones, max_frames, with_overrides)
+        if key not in self._infer_cache:
+            model = self.model
+
+            def fn(variables, text, text_len, utt, lang, noise, knobs,
+                   durations=None, pitch=None, energy=None):
+                return model.apply(
+                    variables, text, text_len, max_frames,
+                    utterance_embedding=utt, lang_ids=lang,
+                    gold_durations=durations, gold_pitch=pitch, gold_energy=energy,
+                    duration_scaling_factor=knobs[0], pitch_variance_scale=knobs[1],
+                    energy_variance_scale=knobs[2],
+                    pause_duration_scaling_factor=knobs[3],
+                    glow_noise=noise, run_glow=True, method=ToucanTTS.infer)
+
+            self._infer_cache[key] = jax.jit(fn)
+        return self._infer_cache[key]
+
+    def _vocode(self, mel: np.ndarray) -> np.ndarray:
+        """(L, 80) -> (L*384,) 24 kHz wave, bucketed jit."""
+        frames = _round_up(len(mel), 64)
+        if frames not in self._vocoder_cache:
+            self._vocoder_cache[frames] = jax.jit(
+                lambda v, m: self.vocoder.apply(v, m))
+        mel_p = np.zeros((1, frames, mel.shape[1]), np.float32)
+        mel_p[0, :len(mel)] = mel
+        wave = self._vocoder_cache[frames](self.vocoder_variables, jnp.asarray(mel_p))
+        return np.asarray(wave)[0, :len(mel) * SAMPLES_PER_FRAME, 0]
+
+    def __call__(self, text: str, duration_scaling_factor=1.0,
+                 pitch_variance_scale=1.0, energy_variance_scale=1.0,
+                 pause_duration_scaling_factor=1.0, durations=None, pitch=None,
+                 energy=None, input_is_phones=False,
+                 return_duration_pitch_energy=False):
+        phones = self.text2phone.string_to_features(text, input_phonemes=input_is_phones)
+        n = len(phones)
+        n_pad = _round_up(n, PHONE_BUCKET)
+        text_arr = np.zeros((1, n_pad, phones.shape[1]), np.float32)
+        text_arr[0, :n] = phones
+
+        if durations is not None:
+            max_frames = _round_up(int(np.sum(durations)
+                                       * max(duration_scaling_factor, 1.0)) + 2, 64)
+        else:
+            max_frames = n_pad * FRAMES_PER_PHONE
+        with_overrides = durations is not None or pitch is not None or energy is not None
+
+        def pad_override(x, fill=0):
+            if x is None:
+                return None
+            x = np.asarray(x, np.float32)
+            out = np.zeros((1, n_pad) + x.shape[1:], np.float32)
+            out[0, :n] = x
+            return jnp.asarray(out)
+
+        self.rng, noise_rng = jax.random.split(self.rng)
+        noise = jax.random.normal(noise_rng, (1, max_frames, self.config.mel_channels)) * 0.8
+        lang = (jnp.asarray([[self.lang_id]], jnp.int32)
+                if self.lang_id is not None else None)
+        knobs = jnp.asarray([duration_scaling_factor, pitch_variance_scale,
+                             energy_variance_scale, pause_duration_scaling_factor],
+                            jnp.float32)
+
+        fn = self._infer_fn(n_pad, max_frames, with_overrides)
+        dur_arr = pad_override(durations)
+        if dur_arr is not None:
+            dur_arr = dur_arr.astype(jnp.int32)
+        before, after, dur, pit, ene, lens = fn(
+            self.tts_variables, jnp.asarray(text_arr), jnp.asarray([n], jnp.int32),
+            jnp.asarray(self.default_utterance_embedding[None]), lang, noise, knobs,
+            durations=dur_arr, pitch=pad_override(pitch), energy=pad_override(energy))
+
+        mel_len = int(lens[0])
+        mel = np.asarray(after)[0, :mel_len]
+        wave = self._vocode(mel)
+        if return_duration_pitch_energy:
+            return wave, np.asarray(dur)[0, :n], np.asarray(pit)[0, :n, 0], \
+                np.asarray(ene)[0, :n, 0]
+        return wave
+
+    # ----------------------------------------------------------- file I/O
+
+    def read_to_file(self, text_list, file_location, duration_scaling_factor=1.0,
+                     pitch_variance_scale=1.0, energy_variance_scale=1.0,
+                     silent=True, dur_list=None, pitch_list=None, energy_list=None,
+                     increased_compatibility_mode=False, input_is_phones=False):
+        import itertools
+
+        silence = np.zeros(SENTENCE_JOIN_SILENCE, np.float32)
+        pieces = [silence]
+        for text, durations, pitch, energy in itertools.zip_longest(
+                text_list, dur_list or [], pitch_list or [], energy_list or []):
+            if not text or not text.strip():
+                continue
+            if not silent:
+                print(f"Now synthesizing: {text}")
+            wave = self(text, durations=durations, pitch=pitch, energy=energy,
+                        duration_scaling_factor=duration_scaling_factor,
+                        pitch_variance_scale=pitch_variance_scale,
+                        energy_variance_scale=energy_variance_scale,
+                        input_is_phones=input_is_phones)
+            pieces += [wave, silence]
+        wav = np.concatenate(pieces)
+        sr = 24000
+        if increased_compatibility_mode:
+            wav = np.repeat(wav, 2)  # 48 kHz compatibility export
+            sr = 48000
+            wav = (np.clip(wav, -1, 1) * 32767).astype(np.int16)
+        try:
+            import soundfile
+            soundfile.write(file=file_location, data=wav, samplerate=sr,
+                            subtype="PCM_16" if increased_compatibility_mode else None)
+        except ImportError:
+            _write_wav(file_location, wav, sr)
+        return wav
+
+
+def _write_wav(path, data, sr):
+    """Minimal WAV writer (PCM16) for hosts without soundfile."""
+    import struct
+    import wave as wave_mod
+
+    if data.dtype != np.int16:
+        data = (np.clip(data, -1, 1) * 32767).astype(np.int16)
+    with wave_mod.open(path, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        f.writeframes(data.tobytes())
