@@ -1,0 +1,79 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from toucan_tpu.models.vocoders import HiFiGANGenerator
+from toucan_tpu.models.vocoders.discriminators import (
+    AvocodoJointDiscriminator,
+    pqmf_analysis,
+)
+from toucan_tpu.train.vocoder_train import (
+    create_vocoder_train_state,
+    make_vocoder_train_step,
+    mel_loss,
+)
+
+SEGMENT_FRAMES = 32          # 12288 samples at 24 kHz, the reference segment
+SEGMENT = SEGMENT_FRAMES * 384
+
+
+def test_pqmf_bands_reconstruct_energy():
+    rng = np.random.RandomState(0)
+    wave = jnp.asarray(rng.randn(1, SEGMENT, 1).astype(np.float32))
+    bands = pqmf_analysis(wave, 8, taps=192, cutoff=0.13, beta=10.0)
+    assert bands.shape == (1, SEGMENT // 8, 8)
+    # matches the reference's torch conv1d exactly (verified offline); the
+    # Avocodo prototype is intentionally non-ideal, so just sanity-bound it
+    ratio = float(jnp.sum(bands ** 2) / jnp.sum(wave ** 2))
+    assert 0.1 < ratio < 2.0
+
+
+def test_joint_discriminator_shapes():
+    rng = jax.random.PRNGKey(0)
+    disc = AvocodoJointDiscriminator()
+    wave = jnp.zeros((1, SEGMENT, 1))
+    up2 = jnp.zeros((1, SEGMENT // 2, 1))
+    up1 = jnp.zeros((1, SEGMENT // 8, 1))
+    variables = disc.init(rng, wave, up2, up1)
+    outs = disc.apply(variables, wave, up2, up1)
+    # 3 MSD + 5 MPD + 5 CoMBD + 4 SubBand = 17 critics
+    assert len(outs) == 17
+    for critic in outs:
+        assert len(critic) >= 2  # feature maps + score (last)
+        assert critic[-1].shape[0] == 1
+
+
+@pytest.mark.parametrize("adversarial", [False, True])
+def test_vocoder_train_step(adversarial):
+    rng = jax.random.PRNGKey(0)
+    gen = HiFiGANGenerator(channels=32)
+    state, opts = create_vocoder_train_state(rng, generator=gen,
+                                             segment_frames=SEGMENT_FRAMES)
+    step = jax.jit(make_vocoder_train_step(opts, generator=gen,
+                                           use_adversarial=adversarial),
+                   static_argnums=2)
+    rnd = np.random.RandomState(0)
+    batch = dict(
+        gold_wave=jnp.asarray(rnd.randn(1, SEGMENT, 1).astype(np.float32) * 0.1),
+        mel=jnp.asarray(rnd.randn(1, SEGMENT_FRAMES, 80).astype(np.float32)),
+    )
+    state2, metrics = step(state, batch, adversarial)
+    assert int(state2.step) == 1
+    assert np.isfinite(float(metrics["generator_total"]))
+    if adversarial:
+        assert np.isfinite(float(metrics["discriminator_loss"]))
+        d_delta = jax.tree.reduce(
+            lambda a, b: a + b,
+            jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()),
+                         state.d_params, state2.d_params))
+        assert d_delta > 0
+
+
+def test_mel_loss_zero_for_identical():
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(1, SEGMENT).astype(np.float32))
+    assert float(mel_loss(w, w)) == 0.0
+    w2 = jnp.asarray(rng.randn(1, SEGMENT).astype(np.float32))
+    assert float(mel_loss(w, w2)) > 0.0
