@@ -61,7 +61,19 @@ class ToucanTTSConfig:
     glow_kernel: int = 5
     glow_layers: int = 4
     glow_sqz: int = 2
+    use_postflow: bool = True            # False -> FastSpeech2-style (no glow)
+    conditional_predictors: bool = True  # False -> plain LayerNorm predictors
     dtype: jnp.dtype = jnp.float32
+
+
+def fastspeech2_config(**overrides) -> "ToucanTTSConfig":
+    """The legacy FastSpeech2 variant used for GST embedding co-training
+    (reference: ``FastSpeech2/FastSpeech2.py`` — d=384, 5-layer pitch
+    predictor, unconditional predictors, no post-flow)."""
+    base = dict(adim=384, enc_units=1536, dec_units=1536, pitch_layers=5,
+                use_postflow=False, conditional_predictors=False)
+    base.update(overrides)
+    return ToucanTTSConfig(**base)
 
 
 class ToucanTTS(nn.Module):
@@ -76,15 +88,16 @@ class ToucanTTS(nn.Module):
             use_input_embedding=True, use_output_norm=True,
             utt_embed_dim=c.utt_embed_dim, lang_embs=c.lang_embs,
             dtype=c.dtype, name="encoder")
+        pred_utt_dim = c.utt_embed_dim if c.conditional_predictors else None
         self.duration_predictor = DurationPredictor(
             c.duration_layers, c.duration_chans, c.duration_kernel, c.duration_dropout,
-            utt_embed_dim=c.utt_embed_dim, dtype=c.dtype, name="duration_predictor")
+            utt_embed_dim=pred_utt_dim, dtype=c.dtype, name="duration_predictor")
         self.pitch_predictor = VariancePredictor(
             c.pitch_layers, c.pitch_chans, c.pitch_kernel, c.pitch_dropout,
-            utt_embed_dim=c.utt_embed_dim, dtype=c.dtype, name="pitch_predictor")
+            utt_embed_dim=pred_utt_dim, dtype=c.dtype, name="pitch_predictor")
         self.energy_predictor = VariancePredictor(
             c.energy_layers, c.energy_chans, c.energy_kernel, c.energy_dropout,
-            utt_embed_dim=c.utt_embed_dim, dtype=c.dtype, name="energy_predictor")
+            utt_embed_dim=pred_utt_dim, dtype=c.dtype, name="energy_predictor")
         self.pitch_embed = nn.Conv(c.adim, (1,), dtype=c.dtype, name="pitch_embed")
         self.energy_embed = nn.Conv(c.adim, (1,), dtype=c.dtype, name="energy_embed")
         self.decoder = Conformer(
@@ -95,10 +108,11 @@ class ToucanTTS(nn.Module):
             utt_embed_dim=None, lang_embs=None, dtype=c.dtype, name="decoder")
         self.feat_out = nn.Dense(c.mel_channels, dtype=c.dtype, name="feat_out")
         self.conv_postnet = PostNet(odim=c.mel_channels, dtype=c.dtype, name="conv_postnet")
-        self.post_flow = Glow(
-            in_channels=c.mel_channels, hidden_channels=c.glow_hidden,
-            kernel_size=c.glow_kernel, n_blocks=c.glow_blocks, n_layers=c.glow_layers,
-            text_condition_channels=c.adim, dtype=c.dtype, name="post_flow")
+        if c.use_postflow:
+            self.post_flow = Glow(
+                in_channels=c.mel_channels, hidden_channels=c.glow_hidden,
+                kernel_size=c.glow_kernel, n_blocks=c.glow_blocks, n_layers=c.glow_layers,
+                text_condition_channels=c.adim, dtype=c.dtype, name="post_flow")
 
     # ------------------------------------------------------------- training
 
@@ -148,7 +162,7 @@ class ToucanTTS(nn.Module):
         after_outs = before_outs + self.conv_postnet(before_outs, deterministic=deterministic)
 
         glow_loss = None
-        if run_glow:
+        if run_glow and cfg.use_postflow:
             glow_loss = self.post_flow.loss(
                 gold_speech,
                 jax_stop_gradient(after_outs),
@@ -224,7 +238,7 @@ class ToucanTTS(nn.Module):
         before_outs = self.feat_out(decoded)
         after_outs = before_outs + self.conv_postnet(before_outs, mask=frame_cmask)
 
-        if run_glow:
+        if run_glow and cfg.use_postflow:
             if glow_noise is None:
                 glow_noise = jnp.zeros_like(after_outs)
             after_outs = self.post_flow.sample(glow_noise, after_outs, upsampled,
