@@ -1,0 +1,189 @@
+"""Corpus recipes: path -> transcript dictionaries for the supported corpora.
+
+The reference enumerates 58 corpus parsers over a fixed filesystem layout
+(``Utility/path_to_transcript_dicts.py``).  Here the same corpora are
+described declaratively: a handful of *template parsers* (LJSpeech-style
+metadata.csv, per-file txt trees, MLS/LibriTTS layouts, CSS10, Thorsten,
+VCTK, ...) plus a registry mapping each reference recipe name to its
+template + location.  The corpora root defaults to the reference's
+``/mount/resources/speech/corpora`` and can be overridden with the
+``TOUCAN_CORPORA_ROOT`` environment variable or per call.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from functools import partial
+
+DEFAULT_ROOT = os.environ.get("TOUCAN_CORPORA_ROOT",
+                              "/mount/resources/speech/corpora")
+
+
+def limit_to_n(d: dict, n: int = 40000) -> dict:
+    if len(d) > n:
+        keys = random.sample(list(d.keys()), n)
+        return {k: d[k] for k in keys}
+    return d
+
+
+# ------------------------------------------------------------- templates
+
+def metadata_csv(root, wav_dir="wav", transcript_index=1, wav_suffix=".wav",
+                 max_lines=None, delimiter="|"):
+    """LJSpeech-style metadata.csv: <id>|<transcript>[|...]."""
+    out = {}
+    with open(os.path.join(root, "metadata.csv"), "r", encoding="utf8") as f:
+        lines = f.read().split("\n")
+    if max_lines:
+        lines = lines[:max_lines]
+    for line in lines:
+        if line.strip():
+            fields = line.split(delimiter)
+            wav_path = os.path.join(root, wav_dir, fields[0] + wav_suffix) \
+                if wav_dir else os.path.join(root, fields[0])
+            if os.path.exists(wav_path):
+                out[wav_path] = fields[transcript_index]
+    return out
+
+
+def txt_tree(root, txt_dir="txt", wav_dir="wav", wav_suffix=".wav", nested=False):
+    """One .txt transcript file per utterance."""
+    out = {}
+    txt_root = os.path.join(root, txt_dir)
+    dirs = sorted(os.listdir(txt_root)) if nested else ["."]
+    for sub in dirs:
+        base = os.path.join(txt_root, sub)
+        if not os.path.isdir(base):
+            continue
+        for name in os.listdir(base):
+            if not name.endswith(".txt"):
+                continue
+            with open(os.path.join(base, name), "r", encoding="utf8") as f:
+                transcript = f.read()
+            stem = name[: -len(".txt")]
+            wav_path = os.path.join(root, wav_dir, sub, stem + wav_suffix) \
+                if nested else os.path.join(root, wav_dir, stem + wav_suffix)
+            if os.path.exists(wav_path):
+                out[wav_path] = transcript
+    return out
+
+
+def mls(root):
+    """MultiLingLibriSpeech: transcripts.txt with <id>\\t<transcript>."""
+    out = {}
+    with open(os.path.join(root, "transcripts.txt"), "r", encoding="utf8") as f:
+        for line in f.read().split("\n"):
+            if line.strip():
+                utt_id, transcript = line.split("\t", 1)
+                spk, book, _ = utt_id.split("_")
+                wav_path = os.path.join(root, "audio", spk, book, utt_id + ".flac")
+                if os.path.exists(wav_path):
+                    out[wav_path] = transcript
+    return out
+
+
+def libritts(root):
+    """LibriTTS: speaker/chapter trees with *.normalized.txt."""
+    out = {}
+    for speaker in os.listdir(root):
+        for chapter in os.listdir(os.path.join(root, speaker)):
+            cdir = os.path.join(root, speaker, chapter)
+            for name in os.listdir(cdir):
+                if name.endswith("normalized.txt"):
+                    with open(os.path.join(cdir, name), "r", encoding="utf8") as f:
+                        transcript = f.read()
+                    wav = os.path.join(cdir, name.split(".")[0] + ".wav")
+                    if os.path.exists(wav):
+                        out[wav] = transcript
+    return out
+
+
+def css10(root, transcript_index=2):
+    """CSS10: transcript.txt with <path>|<raw>|<normalized>."""
+    out = {}
+    with open(os.path.join(root, "transcript.txt"), "r", encoding="utf8") as f:
+        for line in f.read().split("\n"):
+            if line.strip():
+                fields = line.split("|")
+                wav_path = os.path.join(root, fields[0])
+                if os.path.exists(wav_path):
+                    out[wav_path] = fields[transcript_index]
+    return out
+
+
+def vctk(root):
+    out = {}
+    txt_root = os.path.join(root, "txt")
+    for spk in os.listdir(txt_root):
+        for name in os.listdir(os.path.join(txt_root, spk)):
+            if name.endswith(".txt"):
+                with open(os.path.join(txt_root, spk, name), "r", encoding="utf8") as f:
+                    transcript = f.read()
+                wav = os.path.join(root, "wav48_silence_trimmed", spk,
+                                   name[:-4] + "_mic2.flac")
+                if os.path.exists(wav):
+                    out[wav] = transcript
+    return out
+
+
+# -------------------------------------------------------------- registry
+
+# name -> (template fn taking root, relative corpus dir, language code)
+_RECIPES = {
+    "nancy": (metadata_csv, "NancyKrebs", "en"),
+    "integration_test": (partial(metadata_csv, max_lines=500), "NancyKrebs", "en"),
+    "ljspeech": (partial(metadata_csv, wav_dir="wavs", transcript_index=2),
+                 "LJSpeech/LJSpeech-1.1", "en"),
+    "vctk": (vctk, "VCTK", "en"),
+    "libritts": (libritts, "LibriTTS/train-clean-100", "en"),
+    "libritts_all_clean": (libritts, "LibriTTS/all_clean", "en"),
+    "nvidia_hifitts": (metadata_csv, "hi_fi_tts_v0", "en"),
+    "thorsten": (metadata_csv, "Thorsten_DE", "de"),
+    "karlsson": (metadata_csv, "Karlsson", "de"),
+    "eva": (metadata_csv, "Eva", "de"),
+    "bernd": (metadata_csv, "Bernd", "de"),
+    "friedrich": (metadata_csv, "Friedrich", "de"),
+    "hokus": (txt_tree, "LibriVox.Hokuspokus", "de"),
+    "hui_others": (metadata_csv, "hui_others", "de"),
+    "mls_italian": (mls, "MultiLingLibriSpeech/mls_italian/train", "it"),
+    "mls_french": (mls, "MultiLingLibriSpeech/mls_french/train", "fr"),
+    "mls_dutch": (mls, "MultiLingLibriSpeech/mls_dutch/train", "nl"),
+    "mls_polish": (mls, "MultiLingLibriSpeech/mls_polish/train", "pl"),
+    "mls_spanish": (mls, "MultiLingLibriSpeech/mls_spanish/train", "es"),
+    "mls_portuguese": (mls, "MultiLingLibriSpeech/mls_portuguese/train", "pt"),
+    "css10de": (css10, "CSS10/german", "de"),
+    "css10el": (css10, "CSS10/greek", "el"),
+    "css10es": (css10, "CSS10/spanish", "es"),
+    "css10fi": (css10, "CSS10/finnish", "fi"),
+    "css10fr": (css10, "CSS10/french", "fr"),
+    "css10hu": (css10, "CSS10/hungarian", "hu"),
+    "css10nl": (css10, "CSS10/dutch", "nl"),
+    "css10ru": (css10, "CSS10/russian", "ru"),
+}
+
+
+def available_recipes():
+    return sorted(_RECIPES)
+
+
+def recipe_language(name: str) -> str:
+    return _RECIPES[name][2]
+
+
+def build_path_to_transcript_dict(name: str, corpora_root: str = None,
+                                  limit: int = 40000) -> dict:
+    template, rel, _ = _RECIPES[name]
+    root = os.path.join(corpora_root or DEFAULT_ROOT, rel)
+    return limit_to_n(template(root), n=limit)
+
+
+def __getattr__(name):
+    """Provide the reference-style accessors, e.g.
+    ``build_path_to_transcript_dict_nancy()``."""
+    prefix = "build_path_to_transcript_dict_"
+    if name.startswith(prefix):
+        recipe = name[len(prefix):]
+        if recipe in _RECIPES:
+            return partial(build_path_to_transcript_dict, recipe)
+    raise AttributeError(name)
