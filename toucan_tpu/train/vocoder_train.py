@@ -99,10 +99,10 @@ class VocoderTrainState(flax.struct.PyTreeNode):
     d_opt_state: Any
 
 
-def create_vocoder_train_state(rng, generator=None, g_lr=1e-3, d_lr=5e-4,
-                               segment_frames: int = 32):
+def create_vocoder_train_state(rng, generator=None, discriminator=None,
+                               g_lr=1e-3, d_lr=5e-4, segment_frames: int = 32):
     generator = generator or HiFiGANGenerator()
-    disc = AvocodoJointDiscriminator()
+    disc = discriminator or AvocodoJointDiscriminator()
     mel = jnp.zeros((1, segment_frames, 80))
     g_vars = generator.init(rng, mel)
     wave = jnp.zeros((1, segment_frames * 384, 1))
@@ -117,7 +117,8 @@ def create_vocoder_train_state(rng, generator=None, g_lr=1e-3, d_lr=5e-4,
     ), (g_opt, d_opt)
 
 
-def make_vocoder_train_step(optimizers, generator=None, use_adversarial: bool = True,
+def make_vocoder_train_step(optimizers, generator=None, discriminator=None,
+                            use_adversarial: bool = True,
                             mel_weight: float = 45.0, adv_weight: float = 2.0,
                             fm_weight: float = 2.0):
     """Returns (state, batch) -> (state, metrics).
@@ -127,7 +128,7 @@ def make_vocoder_train_step(optimizers, generator=None, use_adversarial: bool = 
     like the reference's step-gated branches.
     """
     generator = generator or HiFiGANGenerator()
-    disc = AvocodoJointDiscriminator()
+    disc = discriminator or AvocodoJointDiscriminator()
     g_opt, d_opt = optimizers
 
     def g_loss_fn(g_params, d_params, batch):
