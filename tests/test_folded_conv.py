@@ -26,6 +26,24 @@ def test_folded_conv_exact():
                                    atol=1e-4, err_msg=f"k={k} c={c} f={f} d={d}")
 
 
+def test_folded_conv_transpose_exact():
+    from toucan_tpu.kernels.folded_conv import folded_conv_transpose
+    from toucan_tpu.models.vocoders.hifigan import conv_transpose_1d
+    rng = np.random.RandomState(0)
+    for (k, s, cin, cout) in [(16, 8, 24, 12), (12, 6, 16, 8), (8, 4, 8, 8),
+                              (4, 2, 6, 3)]:
+        pad = (k - s) // 2
+        x = jnp.asarray(rng.randn(2, 10, cin).astype(np.float32))
+        w = jnp.asarray(rng.randn(k, cout, cin).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.randn(cout).astype(np.float32))
+        expect = conv_transpose_1d(x, w, s, pad) + b
+        folded = folded_conv_transpose(x, w, b, s, pad)
+        got = unfold_time(folded, s)
+        assert got.shape == expect.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                                   atol=1e-4, err_msg=f"k={k} s={s}")
+
+
 def test_fold_roundtrip():
     x = jnp.arange(2 * 12 * 3, dtype=jnp.float32).reshape(2, 12, 3)
     np.testing.assert_array_equal(np.asarray(unfold_time(fold_time(x, 4), 4)),

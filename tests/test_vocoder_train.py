@@ -49,18 +49,21 @@ def test_joint_discriminator_shapes():
 def test_vocoder_train_step(adversarial):
     rng = jax.random.PRNGKey(0)
     gen = HiFiGANGenerator(channels=32)
-    # a width-scaled joint discriminator keeps the CPU test compile tractable;
-    # production uses channel_scale=1.0 (the exact reference widths)
+    # a width-scaled joint discriminator + short segment keep the CPU test
+    # compile tractable; production uses channel_scale=1.0 and 32 frames
+    # (the exact reference widths/segment)
+    frames = 8
+    segment = frames * 384
     disc = AvocodoJointDiscriminator(channel_scale=0.05)
     state, opts = create_vocoder_train_state(rng, generator=gen, discriminator=disc,
-                                             segment_frames=SEGMENT_FRAMES)
+                                             segment_frames=frames)
     step = jax.jit(make_vocoder_train_step(opts, generator=gen, discriminator=disc,
                                            use_adversarial=adversarial),
                    static_argnums=2)
     rnd = np.random.RandomState(0)
     batch = dict(
-        gold_wave=jnp.asarray(rnd.randn(1, SEGMENT, 1).astype(np.float32) * 0.1),
-        mel=jnp.asarray(rnd.randn(1, SEGMENT_FRAMES, 80).astype(np.float32)),
+        gold_wave=jnp.asarray(rnd.randn(1, segment, 1).astype(np.float32) * 0.1),
+        mel=jnp.asarray(rnd.randn(1, frames, 80).astype(np.float32)),
     )
     state2, metrics = step(state, batch, adversarial)
     assert int(state2.step) == 1

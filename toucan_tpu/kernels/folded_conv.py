@@ -15,7 +15,7 @@ Folded kernels are built from the original parameters at trace time, so
 checkpoints and converters are untouched.
 """
 
-from functools import partial
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -34,32 +34,39 @@ def unfold_time(x: jnp.ndarray, f: int) -> jnp.ndarray:
     return x.reshape(b, t * f, fc // f)
 
 
-@partial(jax.jit, static_argnames=("f", "dilation"))
+@functools.lru_cache(maxsize=None)
+def _fold_conv_index_map(k: int, f: int, dilation: int):
+    """(kp, f_in_slot, f_out_slot) -> source tap index (k = "no tap")."""
+    d = dilation
+    pad = (k - 1) // 2 * d
+    pos = np.arange(f)[:, None] + d * np.arange(k)[None, :] - pad  # (r, tau)
+    q = np.floor_divide(pos, f)
+    s = np.mod(pos, f)
+    q_min, q_max = int(q.min()), int(q.max())
+    kp = q_max - q_min + 1
+    idx = np.full((kp, f, f), k, dtype=np.int32)  # k = sentinel (zero tap)
+    for r in range(f):
+        for tau in range(k):
+            idx[q[r, tau] - q_min, s[r, tau], r] = tau
+    return idx
+
+
 def fold_conv_kernel(w: jnp.ndarray, f: int, dilation: int = 1) -> jnp.ndarray:
     """w (k, C_in, C_out) SAME-padded dilated conv -> folded kernel
     (k', f*C_in, f*C_out) for a SAME conv on the folded sequence.
 
     Derivation: output sample t = f*u + r takes input t + d*tau - pad.  In
     folded coordinates that input lives at block u + q, slot s, where
-    q = floor((r + d*tau - pad) / f) and s = (r + d*tau - pad) mod f.  The
-    folded kernel therefore scatters w[tau] into tap q - q_min at input
-    slot s, output slot r.
+    q = floor((r + d*tau - pad) / f) and s = (r + d*tau - pad) mod f.  Each
+    folded position maps to at most one source tap, so the folded kernel is
+    one gather from the zero-extended source kernel (cheap to trace and to
+    differentiate).
     """
     k, c_in, c_out = w.shape
-    d = dilation
-    pad = (k - 1) // 2 * d
-
-    pos = np.arange(f)[:, None] + d * np.arange(k)[None, :] - pad  # (r, tau)
-    q = np.floor_divide(pos, f)
-    s = np.mod(pos, f)
-    q_min, q_max = int(q.min()), int(q.max())
-    kp = q_max - q_min + 1
-
-    wp = jnp.zeros((kp, f, c_in, f, c_out), dtype=w.dtype)
-    for r in range(f):
-        for tau in range(k):
-            wp = wp.at[q[r, tau] - q_min, s[r, tau], :, r, :].add(w[tau])
-    wp = wp.reshape(kp, f * c_in, f * c_out)
+    idx = jnp.asarray(_fold_conv_index_map(k, f, dilation))  # (kp, f, f)
+    w_ext = jnp.concatenate([w, jnp.zeros((1, c_in, c_out), w.dtype)])
+    wp = w_ext[idx]  # (kp, f_in, f_out, C_in, C_out)
+    wp = wp.transpose(0, 1, 3, 2, 4).reshape(idx.shape[0], f * c_in, f * c_out)
     return wp
 
 
@@ -82,3 +89,47 @@ def folded_conv(x_folded: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
         x_folded, wp, window_strides=(1,), padding=[(lo, hi)],
         dimension_numbers=("NHC", "HIO", "NHC"))
     return out + jnp.tile(b, f)
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_conv_transpose_index_map(k: int, stride: int, padding: int):
+    s = stride
+    q_all = [(r + padding - m) // s
+             for r in range(s) for m in range(k) if (r + padding - m) % s == 0]
+    q_min, q_max = min(q_all), max(q_all)
+    kp = q_max - q_min + 1
+    idx = np.full((kp, s), k, dtype=np.int32)  # k = sentinel (zero tap)
+    for r in range(s):
+        for m in range(k):
+            if (r + padding - m) % s == 0:
+                idx[(r + padding - m) // s - q_min, r] = m
+    return idx, (-q_min, q_max)
+
+
+def fold_conv_transpose_kernel(w: jnp.ndarray, stride: int, padding: int):
+    """w (k, C_out, C_in) of a stride-``stride`` transposed conv -> kernel
+    (k'', C_in, stride*C_out) computing the output directly in time-folded
+    layout: Y[u, r*C_out+co] = y[u*stride + r].
+
+    Derivation: y[t] = sum_j x[j] * w[t - j*s + p]; with t = u*s + r and
+    q = j - u the tap m = -q*s + r + p must lie in [0, k).  Each (q, r)
+    position maps to at most one tap -> one gather builds the kernel.
+    """
+    k, c_out, c_in = w.shape
+    idx, (lo, hi) = _fold_conv_transpose_index_map(k, stride, padding)
+    w_ext = jnp.concatenate([w, jnp.zeros((1, c_out, c_in), w.dtype)])
+    wp = w_ext[jnp.asarray(idx)]  # (kp, s, C_out, C_in)
+    wp = wp.transpose(0, 3, 1, 2).reshape(idx.shape[0], c_in, stride * c_out)
+    return wp, (lo, hi)
+
+
+def folded_conv_transpose(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                          stride: int, padding: int) -> jnp.ndarray:
+    """(B, T, C_in) -> folded (B, T, stride*C_out); unfold_time(out, stride)
+    equals the plain transposed conv (exactly), but the MXU sees
+    stride*C_out output lanes instead of C_out."""
+    wp, (lo, hi) = fold_conv_transpose_kernel(w, stride, padding)
+    out = jax.lax.conv_general_dilated(
+        x, wp, window_strides=(1,), padding=[(lo, hi)],
+        dimension_numbers=("NHC", "HIO", "NHC"))
+    return out + jnp.tile(b, stride)

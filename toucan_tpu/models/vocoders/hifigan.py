@@ -16,7 +16,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from toucan_tpu.kernels.folded_conv import fold_time, folded_conv, unfold_time
+from toucan_tpu.kernels.folded_conv import (
+    fold_time,
+    folded_conv,
+    folded_conv_transpose,
+    unfold_time,
+)
 
 
 def conv_transpose_1d(x, kernel, stride: int, padding: int):
@@ -134,7 +139,12 @@ class HiFiGANGenerator(nn.Module):
             kernel = self.param(f"upsample_{i}_kernel", nn.initializers.normal(0.01),
                                 (up_k, ch, self.channels // (2 ** i)), self.dtype)
             bias = self.param(f"upsample_{i}_bias", nn.initializers.zeros, (ch,), self.dtype)
-            x = conv_transpose_1d(x, kernel, scale, (up_k - scale) // 2) + bias
+            if self.use_folding:
+                # emit directly into folded layout: scale*ch output lanes
+                x = unfold_time(folded_conv_transpose(x, kernel, bias, scale,
+                                                      (up_k - scale) // 2), scale)
+            else:
+                x = conv_transpose_1d(x, kernel, scale, (up_k - scale) // 2) + bias
 
             fold = self.min_lanes // ch if (self.use_folding and ch < self.min_lanes) else 1
             if fold > 1:
