@@ -34,6 +34,16 @@ def import_reference_module(name):
     import types
     import importlib
 
+    class _Stub(types.ModuleType):
+        """Import succeeds (module-level reference imports work) but any
+        attribute access raises ImportError, so runtime code that guards
+        ``import x`` with try/except keeps behaving as if x were missing."""
+
+        def __getattr__(self, name):
+            if name.startswith("__"):
+                raise AttributeError(name)
+            raise ImportError(f"stub module {self.__name__} has no {name}")
+
     for stub in ["phonemizer", "phonemizer.backend", "dragonmapper",
                  "dragonmapper.transcriptions", "pypinyin", "librosa",
                  "librosa.display", "matplotlib", "matplotlib.pyplot",
@@ -41,8 +51,7 @@ def import_reference_module(name):
                  "torchaudio.transforms", "torch_complex", "torch_complex.tensor",
                  "parselmouth"]:
         if stub not in sys.modules:
-            mod = types.ModuleType(stub)
-            sys.modules[stub] = mod
+            sys.modules[stub] = _Stub(stub)
     sys.modules["phonemizer.backend"].EspeakBackend = lambda **kw: None
     sys.modules["dragonmapper.transcriptions"].pinyin_to_ipa = lambda x: x
     sys.modules["pypinyin"].pinyin = lambda x: [[x]]
