@@ -210,7 +210,6 @@ class ToucanTTSInterface:
 
 def _write_wav(path, data, sr):
     """Minimal WAV writer (PCM16) for hosts without soundfile."""
-    import struct
     import wave as wave_mod
 
     if data.dtype != np.int16:

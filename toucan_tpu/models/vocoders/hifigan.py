@@ -83,6 +83,27 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
+class _StackParams(nn.Module):
+    """Parameter container matching FoldedResidualStack's tree, used when the
+    stacks execute inside the fused pallas kernel."""
+
+    channels: int
+    kernel_size: int
+    dilations: Sequence[int] = (1, 3, 5)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        out = []
+        for i, _ in enumerate(self.dilations):
+            k1, b1 = _ConvParams(self.kernel_size, self.channels, self.channels,
+                                 self.dtype, name=f"conv1_{i}")()
+            k2, b2 = _ConvParams(self.kernel_size, self.channels, self.channels,
+                                 self.dtype, name=f"conv2_{i}")()
+            out.append((k1, b1, k2, b2))
+        return out
+
+
 class FoldedResidualStack(nn.Module):
     """ResidualStack computed on a time-folded (B, T/f, f*C) sequence.
 
@@ -124,6 +145,7 @@ class HiFiGANGenerator(nn.Module):
     slope: float = 0.1
     min_lanes: int = 128  # fold stages whose channels fall below this
     use_folding: bool = True
+    use_pallas: bool = False  # fused resstack kernel for the folded stages
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -147,7 +169,27 @@ class HiFiGANGenerator(nn.Module):
                 x = conv_transpose_1d(x, kernel, scale, (up_k - scale) // 2) + bias
 
             fold = self.min_lanes // ch if (self.use_folding and ch < self.min_lanes) else 1
-            if fold > 1:
+            if fold > 1 and self.use_pallas:
+                from toucan_tpu.kernels.pallas_resstack import fused_folded_resstacks
+                import jax as _jax
+                stack_params = [
+                    _StackParams(ch, rk, dils, dtype=self.dtype,
+                                 name=f"block_{i}_{j}")()
+                    for j, (rk, dils) in enumerate(zip(self.resblock_kernel_sizes,
+                                                       self.resblock_dilations))]
+                x_f = fold_time(x, fold)
+                t_f = x_f.shape[1]
+                tile = next(c for c in (512, 256, 128, 64, 32, 16, 8)
+                            if t_f % c == 0)
+                assert all(d == self.resblock_dilations[0]
+                           for d in self.resblock_dilations), \
+                    "pallas path assumes uniform dilations across stacks"
+                fused = fused_folded_resstacks(
+                    x_f, stack_params, fold, self.resblock_kernel_sizes,
+                    self.resblock_dilations[0], tile=tile, slope=self.slope,
+                    interpret=_jax.devices()[0].platform == "cpu")
+                x = unfold_time(fused, fold)
+            elif fold > 1:
                 x_f = fold_time(x, fold)
                 acc = 0.0
                 for j, (rk, dils) in enumerate(zip(self.resblock_kernel_sizes,
