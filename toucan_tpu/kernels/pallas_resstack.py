@@ -65,23 +65,34 @@ def _resstack_kernel(x_ref, *refs, tile, halo, n_stacks, taps_per_conv, slope,
     copy.start()
     copy.wait()
 
-    x_in = xtile[:]
+    io_dtype = xtile.dtype
+    # elementwise math stays f32 (Mosaic on this target lacks bf16 compares);
+    # only the MXU dot inputs are bf16
+    x_in = xtile[:].astype(jnp.float32)
     # rows outside the actual sequence (the global zero-pad region) must stay
     # zero after every conv — each conv in the reference zero-pads its own
     # (evolving) input at the sequence boundary
     g0 = t * tile  # global padded coordinate of local row 0
-    rows = jax.lax.broadcasted_iota(jnp.int32, (width, 1), 0) + g0
+    c_lanes = x_in.shape[-1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (width, c_lanes), 0) + g0
     in_seq = (rows >= halo) & (rows < halo + seq_len)
+
+    def roll_rows(x, k):
+        """Static circular roll by k rows (Mosaic lacks bf16 rotate)."""
+        if k == 0:
+            return x
+        return jnp.concatenate([x[width - k:], x[:width - k]], axis=0)
 
     def conv(x, w_ref, b_ref, lo):
         taps = w_ref.shape[0]
+        xc = x.astype(io_dtype)
         acc = jnp.zeros((width, x.shape[-1]), jnp.float32)
         for p in range(taps):
-            shifted = pltpu.roll(x, shift=(lo - p) % width, axis=0)
+            shifted = roll_rows(xc, (lo - p) % width)
             acc = acc + jnp.dot(shifted, w_ref[p],
                                 preferred_element_type=jnp.float32)
-        out = (acc + b_ref[:].astype(jnp.float32)).astype(x.dtype)
-        return jnp.where(in_seq, out, 0)
+        out = acc + b_ref[:].astype(jnp.float32)
+        return jnp.where(in_seq, out, 0.0)
 
     def lrelu(v):
         return jnp.where(v >= 0, v, slope * v)
@@ -101,9 +112,9 @@ def _resstack_kernel(x_ref, *refs, tile, halo, n_stacks, taps_per_conv, slope,
             xt = lrelu(xt)
             xt = conv(xt, w2, b2, lo2)
             xb = xb + xt
-        acc_out = acc_out + xb[halo:halo + tile].astype(jnp.float32)
+        acc_out = acc_out + xb[halo:halo + tile]
 
-    out_ref[0] = (acc_out / n_stacks).astype(x_in.dtype)
+    out_ref[0] = (acc_out / n_stacks).astype(io_dtype)
 
 
 def fused_folded_resstacks(x_folded: jnp.ndarray, stack_params: Sequence,
