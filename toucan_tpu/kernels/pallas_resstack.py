@@ -153,7 +153,7 @@ def fused_folded_resstacks(x_folded: jnp.ndarray, stack_params: Sequence,
         taps_per_conv=tuple(taps_per_conv), slope=slope, seq_len=t)
 
     grid = (b, t // tile)
-    in_specs = ([pl.BlockSpec(memory_space=pltpu.ANY)]
+    in_specs = ([pl.BlockSpec(memory_space=pl.ANY)]
                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_convs))
     out_spec = pl.BlockSpec((1, tile, c), lambda bb, tt: (bb, tt, 0),
                             memory_space=pltpu.VMEM)
