@@ -84,13 +84,15 @@ def _resstack_kernel(x_ref, *refs, tile, halo, n_stacks, taps_per_conv, slope,
         return jnp.concatenate([x[width - k:], x[:width - k]], axis=0)
 
     def conv(x, w_ref, b_ref, lo):
+        """One wide MXU matmul per conv: the rolled tap copies concatenate
+        along lanes, contracting (width, taps*C) @ (taps*C, C)."""
         taps = w_ref.shape[0]
+        c = x.shape[-1]
         xc = x.astype(io_dtype)
-        acc = jnp.zeros((width, x.shape[-1]), jnp.float32)
-        for p in range(taps):
-            shifted = roll_rows(xc, (lo - p) % width)
-            acc = acc + jnp.dot(shifted, w_ref[p],
-                                preferred_element_type=jnp.float32)
+        stacked = jnp.concatenate(
+            [roll_rows(xc, (lo - p) % width) for p in range(taps)], axis=1)
+        w_flat = w_ref[:].reshape(taps * c, c)
+        acc = jnp.dot(stacked, w_flat, preferred_element_type=jnp.float32)
         out = acc + b_ref[:].astype(jnp.float32)
         return jnp.where(in_seq, out, 0.0)
 
