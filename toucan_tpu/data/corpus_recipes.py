@@ -127,6 +127,129 @@ def vctk(root):
     return out
 
 
+def hui(root, transcript_index=1):
+    """HUI German: per-book subdirs each holding metadata.csv + wavs/."""
+    out = {}
+    for book in os.listdir(root):
+        sub = os.path.join(root, book)
+        if os.path.isdir(sub) and os.path.exists(os.path.join(sub, "metadata.csv")):
+            out.update(metadata_csv(sub, wav_dir="wavs",
+                                    transcript_index=transcript_index))
+    return out
+
+
+def hui_others(root):
+    out = {}
+    for speaker in os.listdir(root):
+        out.update(hui(os.path.join(root, speaker)))
+    return out
+
+
+def mailabs(root):
+    """M-AILABS: per-book subdirs with metadata.csv (<id>|<raw>|<norm>)."""
+    return hui(root, transcript_index=2)
+
+
+def blizzard2023_tsv(root):
+    """Blizzard 2023 AD/NEB: transcript.tsv with <path>\\t<transcript>."""
+    out = {}
+    with open(os.path.join(root, "transcript.tsv"), "r", encoding="utf8") as f:
+        for line in f.read().split("\n"):
+            if line.strip():
+                rel, transcript = line.split("\t")[:2]
+                wav = os.path.join(root, rel.split("/")[-1])
+                if os.path.exists(wav):
+                    transcript = (transcript.replace("§", "").replace("#", "")
+                                  .replace("~", "").replace(" »", '"')
+                                  .replace("« ", '"').replace("»", '"')
+                                  .replace("«", '"'))
+                    out[wav] = transcript
+    return out
+
+
+def tab_separated(root, text_file, wav_dir="", wav_suffix=".wav"):
+    """<id>\\t<transcript> lines (Spanish Blizzard train_text.txt, etc.)."""
+    out = {}
+    with open(os.path.join(root, text_file), "r", encoding="utf8") as f:
+        for line in f.read().split("\n"):
+            if line.strip():
+                utt_id, transcript = line.split("\t")[:2]
+                wav = os.path.join(root, wav_dir, utt_id + wav_suffix)
+                if os.path.exists(wav):
+                    out[wav] = transcript
+    return out
+
+
+def aishell3(root):
+    out = {}
+    with open(os.path.join(root, "label_train-set.txt"), encoding="utf8") as f:
+        lines = f.read().replace("$", "").replace("%", " ").split("\n")
+    for line in lines:
+        if line.strip() and not line.startswith("#"):
+            fields = line.split("|")
+            wav = os.path.join(root, "wav", fields[0][:7], fields[0] + ".wav")
+            if os.path.exists(wav):
+                out[wav] = fields[2]
+    return out
+
+
+def viet_tts(root):
+    out = {}
+    with open(os.path.join(root, "meta_data.tsv"), encoding="utf8") as f:
+        for line in f.read().split("\n"):
+            if line.strip():
+                audio, transcript = line.split(".wav")[0], line.split(".wav")[1]
+                out[os.path.join(root, audio + ".wav")] = transcript.strip()
+    return out
+
+
+def blizzard2013(root):
+    """prompts.gui blocks: id line, transcript line, '||' separators."""
+    out = {}
+    with open(os.path.join(root, "prompts.gui"), encoding="utf8") as f:
+        blocks = f.read().split("||\n")
+    for block in blocks:
+        lines = block.split("\n")
+        if lines[0].strip():
+            transcript = (lines[1].replace("@", "").replace("#", ",")
+                          .replace("|", "").replace(";", ",").replace(":", ",")
+                          .replace(" 's", "'s").replace(", ,", ",")
+                          .replace("  ", " ").replace(" ,", ",")
+                          .replace(" .", ".").strip())
+            wav = os.path.join(root, "wavn", lines[0].strip() + ".wav")
+            if os.path.exists(wav):
+                out[wav] = transcript
+    return out
+
+
+def synpaflex(root):
+    import glob
+    out = {}
+    for text_path in glob.iglob(os.path.join(root, "**/*_norm.txt"), recursive=True):
+        with open(text_path, "r", encoding="utf8") as f:
+            transcript = f.read()
+        base = os.path.basename(text_path)[:-9]
+        wav = os.path.join(os.path.dirname(os.path.dirname(text_path)),
+                           base + ".wav")
+        if os.path.exists(wav):
+            out[wav] = transcript
+    return out
+
+
+def siwis(root, sub_dirs=("part1", "part2", "part3")):
+    import glob
+    out = {}
+    for sd in sub_dirs:
+        for text_path in glob.iglob(os.path.join(root, "text", sd, "*.txt")):
+            with open(text_path, "r", encoding="utf8") as f:
+                transcript = f.read()
+            stem = os.path.splitext(os.path.basename(text_path))[0]
+            wav = os.path.join(root, "wavs", sd, stem + ".wav")
+            if os.path.exists(wav):
+                out[wav] = transcript
+    return out
+
+
 # -------------------------------------------------------------- registry
 
 # name -> (template fn taking root, relative corpus dir, language code)
@@ -140,12 +263,37 @@ _RECIPES = {
     "libritts_all_clean": (libritts, "LibriTTS/all_clean", "en"),
     "nvidia_hifitts": (metadata_csv, "hi_fi_tts_v0", "en"),
     "thorsten": (metadata_csv, "Thorsten_DE", "de"),
-    "karlsson": (metadata_csv, "Karlsson", "de"),
-    "eva": (metadata_csv, "Eva", "de"),
-    "bernd": (metadata_csv, "Bernd", "de"),
-    "friedrich": (metadata_csv, "Friedrich", "de"),
-    "hokus": (txt_tree, "LibriVox.Hokuspokus", "de"),
-    "hui_others": (metadata_csv, "hui_others", "de"),
+    "thorsten_2020": (partial(metadata_csv, wav_dir="wavs"), "Thorsten_DE", "de"),
+    "karlsson": (hui, "HUI_German/Karlsson", "de"),
+    "eva": (hui, "HUI_German/Eva", "de"),
+    "bernd": (hui, "HUI_German/Bernd", "de"),
+    "friedrich": (hui, "HUI_German/Friedrich", "de"),
+    "hokus": (hui, "HUI_German/Hokus", "de"),
+    "hokuspokus": (txt_tree, "LibriVox.Hokuspokus", "de"),
+    "hui_others": (hui_others, "HUI_German/others", "de"),
+    "elizabeth": (mailabs, "MAILabs_british_single_speaker_elizabeth", "en"),
+    "fluxsing": (partial(metadata_csv, wav_dir=None, transcript_index=2),
+                 "FluxSing", "de"),
+    "libritts_other500": (libritts, "../asr-data/LibriTTS/train-other-500", "en"),
+    "att_hack": (txt_tree, "FrenchExpressive", "fr"),
+    "css10cmn": (css10, "CSS10/chinese", "cmn"),
+    "vietTTS": (viet_tts, "VietTTS", "vi"),
+    "spanish_blizzard_train": (
+        partial(tab_separated, text_file="train_text.txt", wav_dir="train_wav"),
+        "Blizzard2021/spanish_blizzard_release_2021_v2/hub", "es"),
+    "aishell3": (aishell3, "aishell3/train", "cmn"),
+    "blizzard_2013": (blizzard2013, "Blizzard2013/train/segmented", "en"),
+    "blizzard2023_ad": (blizzard2023_tsv, "Blizzard2023/AD", "fr"),
+    "blizzard2023_ad_silence_removed": (blizzard2023_tsv,
+                                        "Blizzard2023/AD_silence_removed", "fr"),
+    "blizzard2023_neb": (blizzard2023_tsv, "Blizzard2023/NEB", "fr"),
+    "blizzard2023_neb_silence_removed": (blizzard2023_tsv,
+                                         "Blizzard2023/NEB_silence_removed", "fr"),
+    "blizzard2023_neb_e": (blizzard2023_tsv, "Blizzard2023/enhanced_NEB_subset",
+                           "fr"),
+    "synpaflex_norm_subset": (synpaflex, "synpaflex-corpus/5/v0.1", "fr"),
+    "synpaflex_all": (synpaflex, "synpaflex-corpus/5/v0.1", "fr"),
+    "siwis_subset": (siwis, "SiwisFrenchSpeechSynthesisDatabase", "fr"),
     "mls_italian": (mls, "MultiLingLibriSpeech/mls_italian/train", "it"),
     "mls_french": (mls, "MultiLingLibriSpeech/mls_french/train", "fr"),
     "mls_dutch": (mls, "MultiLingLibriSpeech/mls_dutch/train", "nl"),
