@@ -51,12 +51,16 @@ class MultiHeadedAttention(nn.Module):
 
 
 def rel_shift(x):
-    """(B, H, T, 2T-1) -> (B, H, T, T); out[i, j] = x[i, T-1-i+j]."""
-    t = x.shape[2]
-    i = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
-    idx = (t - 1) - i + j  # relative offset i-j indexes the 2T-1 table
-    return jnp.take_along_axis(x, idx[None, None], axis=-1)
+    """(B, H, T, 2T-1) -> (B, H, T, T); out[i, j] = x[i, T-1-i+j].
+
+    Pure pad/reshape/slice (the Transformer-XL trick) — a gather here is
+    pathologically slow on TPU.
+    """
+    b, h, t, w = x.shape  # w == 2t - 1
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))
+    x = x.reshape(b, h, w + 1, t)
+    x = x[:, :, 1:].reshape(b, h, t, w)
+    return x[..., :t]
 
 
 class RelPositionMultiHeadedAttention(nn.Module):

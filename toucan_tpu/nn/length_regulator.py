@@ -30,10 +30,17 @@ def length_regulate(xs: jnp.ndarray, ds: jnp.ndarray, max_frames: int,
     """
     ds = ds.astype(jnp.int32)
     ends = jnp.cumsum(ds, axis=1)                      # (B, T)
-    frames = jnp.arange(max_frames)                    # (F,)
-    # frame j belongs to the first token whose cumulative end exceeds j
-    idx = jax.vmap(lambda e: jnp.searchsorted(e, frames, side="right"))(ends)
+    frames = jnp.arange(max_frames, dtype=jnp.int32)   # (F,)
+    # frame j belongs to the first token whose cumulative end exceeds j:
+    # count how many ends are <= j (vectorized compare+sum beats a
+    # searchsorted/gather lowering on TPU)
+    idx = jnp.sum(ends[:, None, :] <= frames[None, :, None], axis=-1,
+                  dtype=jnp.int32)                     # (B, F)
     idx = jnp.minimum(idx, ds.shape[1] - 1)
-    out = jnp.take_along_axis(xs, idx[..., None], axis=1)
+    # one-hot matmul instead of a row gather: each output frame selects
+    # exactly one token row, so the MXU product is exact and fast
+    onehot = jax.nn.one_hot(idx, ds.shape[1], dtype=xs.dtype)  # (B, F, T)
+    out = jnp.einsum("bft,btd->bfd", onehot, xs,
+                     precision=jax.lax.Precision.HIGHEST)
     valid = frames[None, :] < ends[:, -1:]             # (B, F)
     return jnp.where(valid[..., None], out, pad_value)
