@@ -25,10 +25,14 @@ def tile_to_fixed_frames(spec: jnp.ndarray, length: jnp.ndarray,
     """(L, 80), true length -> (frames, 80) by cyclic repetition.
 
     Equals the reference's repeat-doubling loop (StyleEmbedding.py:41-52),
-    which tiles the true-length prefix cyclically and cuts at 812.
+    which tiles the true-length prefix cyclically and cuts at 812.  The
+    selection runs as a one-hot matmul — row gathers are pathologically
+    slow on TPU.
     """
     idx = jnp.arange(frames) % jnp.maximum(length, 1)
-    return jnp.take(spec, idx, axis=0)
+    onehot = jax.nn.one_hot(idx, spec.shape[0], dtype=spec.dtype)
+    return jnp.einsum("fl,ld->fd", onehot, spec,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 class TorchGRU(nn.Module):
