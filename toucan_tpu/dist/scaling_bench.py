@@ -19,7 +19,7 @@ import time
 
 
 def measure(n_data=None, n_model=1, batch_per_device=8, tmax=64, lmax=384,
-            steps=10):
+            steps=10, config=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -36,7 +36,7 @@ def measure(n_data=None, n_model=1, batch_per_device=8, tmax=64, lmax=384,
     mesh = make_mesh(n_data=n_data, n_model=n_model)
     batch_size = batch_per_device * n_data
 
-    config = ToucanTTSConfig()
+    config = config or ToucanTTSConfig()
     rng = jax.random.PRNGKey(0)
     gst_vars = StyleEmbedding().init(rng, jnp.zeros((1, 20, 80)), jnp.array([20]))
     state, optimizer = create_train_state(rng, config, gst_vars,
