@@ -146,6 +146,12 @@ class HiFiGANGenerator(nn.Module):
     min_lanes: int = 128  # fold stages whose channels fall below this
     use_folding: bool = True
     use_pallas: bool = False  # fused resstack kernel for the folded stages
+    # im2col fused-stage kernel (kernels/pallas_imcol.py) for stages whose
+    # channels are <= 128: "" = off, else "int8" | "bf16" | "f32"
+    imcol_mode: str = ""
+    imcol_stages: Tuple[int, ...] = (1, 2, 3)  # stage indices eligible
+    imcol_dense: bool = False  # full-row taps (dense folded weights)
+    skip_stages: Tuple[int, ...] = ()  # benchmarking aid: skip resblocks
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -169,7 +175,30 @@ class HiFiGANGenerator(nn.Module):
                 x = conv_transpose_1d(x, kernel, scale, (up_k - scale) // 2) + bias
 
             fold = self.min_lanes // ch if (self.use_folding and ch < self.min_lanes) else 1
-            if fold > 1 and self.use_pallas:
+            if i in self.skip_stages:
+                for j, (rk, dils) in enumerate(zip(self.resblock_kernel_sizes,
+                                                   self.resblock_dilations)):
+                    _StackParams(ch, rk, dils, dtype=self.dtype,
+                                 name=f"block_{i}_{j}")()
+            elif self.imcol_mode and ch <= 128 and i in self.imcol_stages:
+                from toucan_tpu.kernels.pallas_imcol import fused_imcol_resstacks
+                import jax as _jax
+                stack_params = [
+                    _StackParams(ch, rk, dils, dtype=self.dtype,
+                                 name=f"block_{i}_{j}")()
+                    for j, (rk, dils) in enumerate(zip(self.resblock_kernel_sizes,
+                                                       self.resblock_dilations))]
+                assert all(d == self.resblock_dilations[0]
+                           for d in self.resblock_dilations), \
+                    "imcol path assumes uniform dilations across stacks"
+                fused = fused_imcol_resstacks(
+                    fold_time(x, fold), stack_params, fold,
+                    self.resblock_kernel_sizes, self.resblock_dilations[0],
+                    slope=self.slope, mode=self.imcol_mode,
+                    dense=self.imcol_dense,
+                    interpret=_jax.devices()[0].platform == "cpu")
+                x = unfold_time(fused, fold)
+            elif fold > 1 and self.use_pallas:
                 from toucan_tpu.kernels.pallas_resstack import fused_folded_resstacks
                 import jax as _jax
                 stack_params = [
@@ -211,8 +240,17 @@ class HiFiGANGenerator(nn.Module):
                 x2 = nn.Conv(1, (7,), dtype=self.dtype, name="out_proj_x2")(x)
 
         x = leaky_relu(x, 0.01)  # reference output stage uses default slope
-        x = nn.Conv(1, (self.kernel_size,), dtype=self.dtype, name="output_conv")(x)
-        x = jnp.tanh(x)
+        if self.use_folding and x.shape[1] % 64 == 0:
+            # C_out=1 leaves the MXU 99% idle; emit 64 folded output lanes
+            # instead (exact — same block-Toeplitz machinery as the stages)
+            ok, ob = _ConvParams(self.kernel_size, x.shape[-1], 1, self.dtype,
+                                 name="output_conv")()
+            xf = folded_conv(fold_time(x, 64), ok, ob, 64, 1)
+            x = unfold_time(jnp.tanh(xf), 64)
+        else:
+            x = nn.Conv(1, (self.kernel_size,), dtype=self.dtype,
+                        name="output_conv")(x)
+            x = jnp.tanh(x)
         if return_intermediates:
             return x, x2, x1
         return x
