@@ -63,3 +63,61 @@ def test_vocoder_dataset(tmp_path):
     assert batch["gold_wave"].shape == (3, SEGMENT_24K, 1)
     assert batch["mel"].shape == (3, FRAMES, 80)
     assert np.isfinite(batch["mel"]).all()
+
+
+def test_full_reference_recipe_coverage():
+    """Every named recipe in the reference's path_to_transcript_dicts.py
+    (``Utility/path_to_transcript_dicts.py``, 58 builders) has an accessor."""
+    import toucan_tpu.data.corpus_recipes as cr
+
+    reference_names = [
+        "ESDS", "RAVDESS", "VIVOS_viet", "aishell3", "att_hack", "bernd",
+        "blizzard2023_ad", "blizzard2023_ad_long",
+        "blizzard2023_ad_long_silence_removed",
+        "blizzard2023_ad_silence_removed", "blizzard2023_neb",
+        "blizzard2023_neb_e", "blizzard2023_neb_e_silence_removed",
+        "blizzard2023_neb_long", "blizzard2023_neb_long_silence_removed",
+        "blizzard2023_neb_silence_removed", "blizzard2023_neb_tiny_test",
+        "blizzard_2013", "css10cmn", "css10de", "css10el", "css10es",
+        "css10fi", "css10fr", "css10hu", "css10nl", "css10ru", "elizabeth",
+        "eva", "fluxsing", "friedrich", "hokus", "hokuspokus", "hui_others",
+        "hui_template", "integration_test", "karlsson", "libritts",
+        "libritts_all_clean", "libritts_other500", "ljspeech", "mls_dutch",
+        "mls_french", "mls_italian", "mls_polish", "mls_portuguese",
+        "mls_spanish", "multi_ling_librispeech_template", "nancy",
+        "nvidia_hifitts", "siwis_subset", "spanish_blizzard_train",
+        "synpaflex_all", "synpaflex_norm_subset", "thorsten",
+        "thorsten_2020", "vctk", "vietTTS",
+    ]
+    assert len(reference_names) == 58
+    for name in reference_names:
+        fn = getattr(cr, f"build_path_to_transcript_dict_{name}")
+        assert callable(fn), name
+
+
+def test_emotion_and_vivos_templates(tmp_path):
+    import toucan_tpu.data.corpus_recipes as cr
+
+    # RAVDESS: sentence choice from filename field 5
+    rav = tmp_path / "RAVDESS" / "Actor_01"
+    rav.mkdir(parents=True)
+    (rav / "03-01-01-01-01-01-01.wav").write_bytes(b"RIFF")
+    (rav / "03-01-01-01-02-01-01.wav").write_bytes(b"RIFF")
+    d = cr.ravdess(str(tmp_path / "RAVDESS"))
+    assert set(d.values()) == {"Kids are talking by the door.",
+                               "Dogs are sitting by the door."}
+
+    # ESDS: speakers >10, tab-separated transcript with emotion subdirs
+    spk = tmp_path / "ESDS" / "0011"
+    (spk / "Neutral").mkdir(parents=True)
+    (spk / "fixed_unicode.txt").write_text("x_000351\tthe text\tNeutral\n")
+    d = cr.esds(str(tmp_path / "ESDS"))
+    assert d == {str(spk / "Neutral" / "0011_000351.wav"): "the text"}
+
+    # VIVOS: prompts.txt ids map into waves/<spk>/
+    viv = tmp_path / "vivos"
+    viv.mkdir()
+    (viv / "prompts.txt").write_text("VIVOSSPK01_R001 XIN CHAO\n")
+    d = cr.vivos(str(viv))
+    assert d == {str(viv / "waves" / "VIVOSSPK01" / "VIVOSSPK01_R001.wav"):
+                 "xin chao"}

@@ -150,7 +150,7 @@ def mailabs(root):
     return hui(root, transcript_index=2)
 
 
-def blizzard2023_tsv(root):
+def blizzard2023_tsv(root, max_entries=None):
     """Blizzard 2023 AD/NEB: transcript.tsv with <path>\\t<transcript>."""
     out = {}
     with open(os.path.join(root, "transcript.tsv"), "r", encoding="utf8") as f:
@@ -164,6 +164,54 @@ def blizzard2023_tsv(root):
                                   .replace("« ", '"').replace("»", '"')
                                   .replace("«", '"'))
                     out[wav] = transcript
+                if max_entries and len(out) > max_entries:
+                    break
+    return out
+
+
+def vivos(root):
+    """VIVOS Vietnamese: prompts.txt "<id> <text>", waves/<spk>/<id>.wav."""
+    out = {}
+    with open(os.path.join(root, "prompts.txt"), "r", encoding="utf8") as f:
+        for line in f.read().split("\n"):
+            if line.strip():
+                fields = line.split(" ")
+                wav = os.path.join(root, "waves", fields[0][:10],
+                                   fields[0] + ".wav")
+                out[wav] = " ".join(fields[1:]).lower()
+    return out
+
+
+def ravdess(root):
+    """RAVDESS: two fixed sentences encoded in the 5th filename field."""
+    out = {}
+    for speaker_dir in os.listdir(root):
+        spk = os.path.join(root, speaker_dir)
+        if not os.path.isdir(spk):
+            continue
+        for audio_file in os.listdir(spk):
+            if audio_file.split("-")[4] == "01":
+                out[os.path.join(spk, audio_file)] = "Kids are talking by the door."
+            else:
+                out[os.path.join(spk, audio_file)] = "Dogs are sitting by the door."
+    return out
+
+
+def esds(root):
+    """Emotional Speech Dataset (Singapore): per-speaker fixed_unicode.txt
+    with <file>\\t<text>\\t<emotion-dir>; English speakers are 0011+."""
+    out = {}
+    for speaker_dir in os.listdir(root):
+        if speaker_dir.startswith("00") and int(speaker_dir) > 10:
+            with open(os.path.join(root, speaker_dir, "fixed_unicode.txt"),
+                      "r", encoding="utf8") as f:
+                transcripts = f.read()
+            for line in transcripts.replace("\n\n", "\n").replace(",", ", ").split("\n"):
+                if line.strip():
+                    filename, text, emo_dir = line.split("\t")
+                    filename = speaker_dir + "_" + filename.split("_")[1]
+                    out[os.path.join(root, speaker_dir, emo_dir,
+                                     filename + ".wav")] = text
     return out
 
 
@@ -308,7 +356,34 @@ _RECIPES = {
     "css10hu": (css10, "CSS10/hungarian", "hu"),
     "css10nl": (css10, "CSS10/dutch", "nl"),
     "css10ru": (css10, "CSS10/russian", "ru"),
+    "VIVOS_viet": (vivos, "VIVOS_vietnamese/train", "vi"),
+    "RAVDESS": (ravdess, "RAVDESS", "en"),
+    "ESDS": (esds, "Emotional_Speech_Dataset_Singapore", "en"),
+    # long-form / silence-removed Blizzard 2023 variants (some live on a
+    # different mount in the reference cluster layout -> absolute paths)
+    "blizzard2023_ad_long": (
+        blizzard2023_tsv,
+        "/mount/arbeitsdaten45/projekte/asr-4/denisopl/Blizzard2023/15sec/output/AD",
+        "fr"),
+    "blizzard2023_ad_long_silence_removed": (
+        blizzard2023_tsv, "Blizzard2023/ad_long_silence_removed", "fr"),
+    "blizzard2023_neb_e_silence_removed": (
+        blizzard2023_tsv, "Blizzard2023/enhanced_NEB_subset_silence_removed", "fr"),
+    "blizzard2023_neb_long": (
+        blizzard2023_tsv,
+        "/mount/arbeitsdaten45/projekte/asr-4/denisopl/Blizzard2023/15sec/output/NEB",
+        "fr"),
+    "blizzard2023_neb_long_silence_removed": (
+        blizzard2023_tsv, "Blizzard2023/neb_long_silence_removed", "fr"),
+    "blizzard2023_neb_tiny_test": (
+        partial(blizzard2023_tsv, max_entries=50), "Blizzard2023/NEB", "fr"),
 }
+
+# the reference also exposes the raw template parsers under recipe-style
+# names (``hui_template``, ``multi_ling_librispeech_template``); they take a
+# corpus root directly
+build_path_to_transcript_dict_hui_template = hui_others
+build_path_to_transcript_dict_multi_ling_librispeech_template = mls
 
 
 def available_recipes():
