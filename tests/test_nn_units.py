@@ -76,3 +76,43 @@ def test_relative_position_encoding_against_reference_formula():
     np.testing.assert_allclose(pe[0, 0::2], np.sin((t - 1) * div), rtol=1e-5)
     np.testing.assert_allclose(pe[-1, 0::2], np.sin(-(t - 1) * div), rtol=1e-5)
     np.testing.assert_allclose(pe[t - 1], np.concatenate([np.zeros(1), np.ones(1)]).repeat(d // 2).reshape(2, -1).T.ravel(), atol=1e-6)
+
+
+def test_normed_conv_matches_torch_weight_and_spectral_norm():
+    """NormedConv reproduces torch.nn.utils.weight_norm (dim=0) and
+    spectral_norm (converged power iteration) on a 1-D conv."""
+    import torch
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from toucan_tpu.nn.param_norm import NormedConv
+
+    torch.manual_seed(0)
+    c_in, c_out, k, t = 6, 10, 5, 32
+    tconv = torch.nn.Conv1d(c_in, c_out, k, padding=k // 2)
+    x = np.random.RandomState(0).randn(2, t, c_in).astype(np.float32)
+
+    # ---- weight norm: identical decomposition -> identical forward
+    wn = torch.nn.utils.weight_norm(torch.nn.Conv1d(c_in, c_out, k, padding=k // 2))
+    with torch.no_grad():
+        expect = wn(torch.tensor(x.transpose(0, 2, 1))).numpy().transpose(0, 2, 1)
+    v = wn.weight_v.detach().numpy().transpose(2, 1, 0)  # (k, in, out)
+    g = wn.weight_g.detach().numpy().reshape(-1)
+    bias = wn.bias.detach().numpy()
+    model = NormedConv(c_out, (k,), norm="weight")
+    got = model.apply({"params": {"v": jnp.asarray(v), "g": jnp.asarray(g),
+                                  "bias": jnp.asarray(bias)}}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), expect, atol=2e-5)
+
+    # ---- spectral norm: sigma estimates agree after power iteration
+    sn = torch.nn.utils.spectral_norm(
+        torch.nn.Conv1d(c_in, c_out, k, padding=k // 2), n_power_iterations=50)
+    with torch.no_grad():
+        for _ in range(5):  # run forwards so torch's u converges
+            sn(torch.tensor(x.transpose(0, 2, 1)))
+        expect = sn(torch.tensor(x.transpose(0, 2, 1))).numpy().transpose(0, 2, 1)
+    kern = sn.weight_orig.detach().numpy().transpose(2, 1, 0)
+    bias = sn.bias.detach().numpy()
+    model = NormedConv(c_out, (k,), norm="spectral")
+    got = model.apply({"params": {"kernel": jnp.asarray(kern),
+                                  "bias": jnp.asarray(bias)}}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=2e-3, atol=2e-4)

@@ -156,3 +156,92 @@ def test_stochastic_predictor_nll_parity(svp_pair):
     got = nll_model.apply(variables, jnp.asarray(x), jnp.asarray(mask),
                           jnp.asarray(w), jnp.asarray(gcond)[:, None, :], e_q)
     np.testing.assert_allclose(np.asarray(got), expect, rtol=2e-4, atol=2e-3)
+
+
+@pytest.fixture(scope="module")
+def full_pair():
+    """Tiny full StochasticToucanTTS on both sides with converted weights."""
+    import torch
+    torch.manual_seed(0)
+    ref_mod = import_reference_module(
+        "TrainingInterfaces.Text_to_Spectrogram.StochasticToucanTTS."
+        "StochasticToucanTTS")
+    ref = ref_mod.StochasticToucanTTS(encoder_layers=2, decoder_layers=2)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    from toucan_tpu.compat.torch_stochastic import convert_stochastic_toucan_tts
+    from toucan_tpu.models.stochastic_toucan_tts import StochasticToucanTTS
+    from toucan_tpu.models.toucan_tts import ToucanTTSConfig
+
+    cfg = ToucanTTSConfig(enc_layers=2, dec_layers=2)
+    model = StochasticToucanTTS(cfg)
+    variables = jax.tree.map(jnp.asarray,
+                             convert_stochastic_toucan_tts(sd, enc_layers=2,
+                                                           dec_layers=2))
+    return ref, model, variables
+
+
+def test_stochastic_full_model_inference_parity(full_pair):
+    """End-to-end inference parity with identical noise injected into all
+    three variance flows and the glow (reference inference path:
+    ``StochasticToucanTTS.py:281-306``, flows' reverse draw at
+    ``StochasticVariancePredictor.py:110``)."""
+    import torch
+    ref, model, variables = full_pair
+    from toucan_tpu.models.stochastic_toucan_tts import StochasticToucanTTS
+
+    rng = np.random.RandomState(3)
+    t = 7
+    text = (rng.rand(t, 62) > 0.5).astype(np.float32)
+    # ensure a word boundary and both voiced/unvoiced phones appear
+    utt = rng.randn(64).astype(np.float32)
+    lang = np.array([4])
+
+    with torch.no_grad():
+        torch.manual_seed(11)
+        r_before, r_after, r_dur, r_pitch, r_energy = ref._forward(
+            torch.tensor(text[None]), torch.tensor([t]), None,
+            is_inference=True, utterance_embedding=torch.tensor(utt[None]),
+            lang_ids=torch.tensor(lang[None]), run_glow=True)
+
+    mel_len = int(r_dur.sum())
+    assert mel_len > 0
+
+    # replay the reference's four draws in order (pitch, energy, duration
+    # flows draw (1, 2, T); the glow reverse draws (1, 80, L) * 0.8)
+    torch.manual_seed(11)
+    z_pitch = torch.randn(1, 2, t).numpy().transpose(0, 2, 1)
+    z_energy = torch.randn(1, 2, t).numpy().transpose(0, 2, 1)
+    z_dur = torch.randn(1, 2, t).numpy().transpose(0, 2, 1)
+    z_glow = (torch.randn(1, 80, mel_len) * 0.8).numpy().transpose(0, 2, 1)
+
+    max_frames = mel_len + 8 - (mel_len % 2)
+    z_pad = np.zeros((1, max_frames, 80), np.float32)
+    z_pad[:, :mel_len] = z_glow
+
+    queue = [jnp.asarray(z) for z in (z_pitch, z_energy, z_dur)]
+    orig_normal = jax.random.normal
+    try:
+        jax.random.normal = lambda *a, **k: queue.pop(0)
+        before, after, dur, pit, ene, lens = model.apply(
+            variables, jnp.asarray(text[None]), jnp.asarray(np.array([t])),
+            max_frames, utterance_embedding=jnp.asarray(utt[None]),
+            lang_ids=jnp.asarray(lang[None]), glow_noise=jnp.asarray(z_pad),
+            run_glow=True, method=StochasticToucanTTS.infer)
+    finally:
+        jax.random.normal = orig_normal
+
+    # the reference inference path returns squeezed (T,) / (L, 80) tensors
+    np.testing.assert_array_equal(np.asarray(dur)[0], r_dur.numpy())
+    np.testing.assert_allclose(np.asarray(pit)[0, :, 0], r_pitch.numpy(),
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(ene)[0, :, 0], r_energy.numpy(),
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(before)[0, :mel_len],
+                               r_before.numpy()[:mel_len], atol=5e-4)
+    even_len = int(lens[0])
+    assert even_len == (mel_len // 2) * 2
+    # untrained glow weights blow the output scale up to ~1e4; relative
+    np.testing.assert_allclose(np.asarray(after)[0, :even_len],
+                               r_after.numpy()[:even_len], rtol=3e-5, atol=5e-3)

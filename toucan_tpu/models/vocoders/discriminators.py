@@ -3,10 +3,10 @@
 Behavioral equivalents of the reference stacks
 (``Spectrogram_to_Wave/HiFiGAN/HiFiGAN_Discriminators.py`` and
 ``Spectrogram_to_Wave/Avocodo/AvocodoDiscriminators.py``).  These are
-training-time critics; the weight-norm/spectral-norm reparameterizations of
-the reference affect only optimizer dynamics and are not replicated —
-JAX-side training uses plain parameterization (a deliberate, documented
-deviation; generator checkpoints remain fully compatible).
+training-time critics; every conv carries the reference's weight-norm
+reparameterization (torch weight_g/weight_v semantics), and the first
+multi-scale discriminator uses spectral norm ("follow_official_norm",
+``HiFiGAN_Discriminators.py:365-372``) — see ``toucan_tpu/nn/param_norm.py``.
 
 All modules take (B, T, 1) waves and return lists of per-layer feature
 maps with the final score tensor last, matching the loss conventions of
@@ -20,6 +20,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from toucan_tpu.nn.param_norm import NormedConv
 
 
 def _lrelu(x, slope=0.1):
@@ -49,14 +51,14 @@ class PeriodDiscriminator(nn.Module):
         outs = []
         ch = self.channels
         for i, scale in enumerate(self.downsample_scales):
-            x = nn.Conv(ch, (self.kernel_size, 1), strides=(scale, 1),
-                        padding=(((self.kernel_size - 1) // 2,) * 2, (0, 0)),
-                        dtype=self.dtype, name=f"conv_{i}")(x)
+            x = NormedConv(ch, (self.kernel_size, 1), strides=(scale, 1),
+                           padding=(((self.kernel_size - 1) // 2,) * 2, (0, 0)),
+                           dtype=self.dtype, name=f"conv_{i}")(x)
             x = _lrelu(x)
             outs.append(x)
             ch = min(ch * 4, self.max_channels)
-        x = nn.Conv(1, (2, 1), padding=((1, 1), (0, 0)), dtype=self.dtype,
-                    name="output_conv")(x)
+        x = NormedConv(1, (2, 1), padding=((1, 1), (0, 0)), dtype=self.dtype,
+                       name="output_conv")(x)
         outs.append(x.reshape(b, -1))
         return outs
 
@@ -83,34 +85,35 @@ class ScaleDiscriminator(nn.Module):
     downsample_scales: Sequence[int] = (4, 4, 4, 4, 1)
     max_channels: int = 1024
     max_groups: int = 16
+    norm: str = "weight"  # "spectral" for the first scale (official norm)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         outs = []
-        x = nn.Conv(self.channels, (self.kernel_sizes[0],), dtype=self.dtype,
-                    name="conv_first")(x)
+        x = NormedConv(self.channels, (self.kernel_sizes[0],), norm=self.norm,
+                       dtype=self.dtype, name="conv_first")(x)
         x = _lrelu(x)
         outs.append(x)
         in_chs = self.channels
         out_chs = self.channels
         groups = 4
         for i, scale in enumerate(self.downsample_scales):
-            x = nn.Conv(out_chs, (self.kernel_sizes[1],), strides=(scale,),
-                        feature_group_count=groups, dtype=self.dtype,
-                        name=f"down_{i}")(x)
+            x = NormedConv(out_chs, (self.kernel_sizes[1],), strides=(scale,),
+                           feature_group_count=groups, norm=self.norm,
+                           dtype=self.dtype, name=f"down_{i}")(x)
             x = _lrelu(x)
             outs.append(x)
             in_chs = out_chs
             out_chs = min(in_chs * 2, self.max_channels)
             groups = min(groups * 4, self.max_groups)
         out_chs = min(in_chs * 2, self.max_channels)
-        x = nn.Conv(out_chs, (self.kernel_sizes[2],), dtype=self.dtype,
-                    name="post_conv")(x)
+        x = NormedConv(out_chs, (self.kernel_sizes[2],), norm=self.norm,
+                       dtype=self.dtype, name="post_conv")(x)
         x = _lrelu(x)
         outs.append(x)
-        x = nn.Conv(1, (self.kernel_sizes[3],), dtype=self.dtype,
-                    name="output_conv")(x)
+        x = NormedConv(1, (self.kernel_sizes[3],), norm=self.norm,
+                       dtype=self.dtype, name="output_conv")(x)
         outs.append(x)
         return outs
 
@@ -119,14 +122,18 @@ class MultiScaleDiscriminator(nn.Module):
     scales: int = 3
     channels: int = 128
     max_channels: int = 1024
+    follow_official_norm: bool = True  # scale 0 spectral, others weight norm
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         outs = []
         for i in range(self.scales):
+            norm = "spectral" if (self.follow_official_norm and i == 0) \
+                else "weight"
             outs.append(ScaleDiscriminator(channels=self.channels,
                                            max_channels=self.max_channels,
+                                           norm=norm,
                                            dtype=self.dtype, name=f"scale_{i}")(x))
             # AvgPool1d(kernel=4, stride=2, padding=2)
             x = nn.avg_pool(x, (4,), strides=(2,), padding=((2, 2),),
@@ -174,11 +181,11 @@ class CoMBD(nn.Module):
         fmap = []
         for i, (f, k, g, s) in enumerate(zip(self.filters, self.kernels,
                                              self.groups, self.strides)):
-            x = nn.Conv(f, (k,), strides=(s,), feature_group_count=g,
-                        dtype=self.dtype, name=f"conv_{i}")(x)
+            x = NormedConv(f, (k,), strides=(s,), feature_group_count=g,
+                           dtype=self.dtype, name=f"conv_{i}")(x)
             x = _lrelu(x)
             fmap.append(x)
-        score = nn.Conv(1, (3,), dtype=self.dtype, name="conv_post")(x)
+        score = NormedConv(1, (3,), dtype=self.dtype, name="conv_post")(x)
         return score.reshape(score.shape[0], -1), fmap
 
 
@@ -238,11 +245,12 @@ class MDC(nn.Module):
     def __call__(self, x):
         acc = 0.0
         for i, d in enumerate(self.dilations):
-            acc = acc + nn.Conv(self.channel, (self.kernel,), kernel_dilation=d,
-                                dtype=self.dtype, name=f"conv_{i}")(x)
+            acc = acc + NormedConv(self.channel, (self.kernel,),
+                                   kernel_dilation=(d,), dtype=self.dtype,
+                                   name=f"conv_{i}")(x)
         x = acc / len(self.dilations)
-        x = nn.Conv(self.channel, (3,), strides=(self.stride,), dtype=self.dtype,
-                    name="conv_out")(x)
+        x = NormedConv(self.channel, (3,), strides=(self.stride,),
+                       dtype=self.dtype, name="conv_out")(x)
         return _lrelu(x)
 
 
@@ -260,7 +268,7 @@ class SubBandDiscriminator(nn.Module):
                                              self.dilations)):
             x = MDC(ch, self.kernel, s, dil, dtype=self.dtype, name=f"mdc_{i}")(x)
             fmap.append(x)
-        score = nn.Conv(1, (3,), dtype=self.dtype, name="conv_post")(x)
+        score = NormedConv(1, (3,), dtype=self.dtype, name="conv_post")(x)
         return score.reshape(score.shape[0], -1), fmap
 
 
