@@ -67,6 +67,10 @@ class RelPositionMultiHeadedAttention(nn.Module):
     n_head: int
     n_feat: int
     dropout_rate: float = 0.0
+    # O(T*d)-memory pallas flash-attention path (kernels/pallas_attention.py)
+    # for long sequences; requires deterministic mode (no attention dropout)
+    # and a key-padding (prefix) mask
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -85,6 +89,21 @@ class RelPositionMultiHeadedAttention(nn.Module):
 
         q_u = q + pos_bias_u[None, :, None, :]
         q_v = q + pos_bias_v[None, :, None, :]
+
+        if self.use_flash and deterministic:
+            from toucan_tpu.kernels.pallas_attention import flash_rel_attention
+            t = query.shape[1]
+            if mask is None:
+                lengths = jnp.full((query.shape[0],), t, jnp.int32)
+            else:
+                lengths = jnp.sum(mask.reshape(mask.shape[0], -1)[:, -t:]
+                                  .astype(jnp.int32), axis=-1)
+            o = flash_rel_attention(q_u, q_v, k, v, p[0], lengths,
+                                    interpret=jax.devices()[0].platform == "cpu")
+            b, h, tt, d = o.shape
+            x = o.transpose(0, 2, 1, 3).reshape(b, tt, h * d).astype(query.dtype)
+            return nn.Dense(self.n_feat, dtype=self.dtype, name="linear_out")(x)
+
         matrix_ac = jnp.einsum("bhtd,bhsd->bhts", q_u, k)
         matrix_bd = rel_shift(jnp.einsum("bhtd,nhsd->bhts", q_v, p))
         scores = (matrix_ac + matrix_bd) / jnp.sqrt(d_k).astype(q.dtype)

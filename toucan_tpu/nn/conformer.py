@@ -33,6 +33,7 @@ class ConformerBlock(nn.Module):
     macaron: bool = True
     use_cnn: bool = True
     normalize_before: bool = True
+    use_flash_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -53,6 +54,7 @@ class ConformerBlock(nn.Module):
         x = ln("norm_mha")(x)
         x_att = RelPositionMultiHeadedAttention(
             self.attention_heads, self.size, self.attention_dropout_rate,
+            use_flash=self.use_flash_attention,
             dtype=self.dtype, name="self_attn")(x, x, x, pos_emb, mask, deterministic)
         x = residual + drop(x_att)
 
@@ -96,6 +98,8 @@ class Conformer(nn.Module):
     dropout_rate: float = 0.2
     positional_dropout_rate: float = 0.2
     attention_dropout_rate: float = 0.2
+    # O(T*d) pallas flash-attention path for long sequences (inference)
+    use_flash_attention: bool = False
     use_input_embedding: bool = False
     input_embedding_hidden: int = 100
     use_output_norm: bool = True
@@ -126,6 +130,7 @@ class Conformer(nn.Module):
         for i in range(self.num_blocks):
             xs = ConformerBlock(self.attention_dim, self.attention_heads, self.linear_units,
                                 self.cnn_kernel, self.dropout_rate, self.attention_dropout_rate,
+                                use_flash_attention=self.use_flash_attention,
                                 dtype=self.dtype, name=f"block_{i}")(
                 xs, pos_emb, mask, deterministic, train, conv_mask)
 
