@@ -23,7 +23,10 @@ import jax.numpy as jnp
 
 from toucan_tpu.frontend.audio import amplitude_spectrogram
 from toucan_tpu.frontend.inventory import feature_index
-from toucan_tpu.frontend.pitch import estimate_f0
+# prefer the native (C++) pitch tracker for corpus builds; it is a
+# numerically-matching port of frontend.pitch and falls back to it when no
+# host toolchain exists (toucan_tpu/native/__init__.py)
+from toucan_tpu.native import estimate_f0
 
 
 def durations_from_alignment(alignment: np.ndarray) -> np.ndarray:
