@@ -10,6 +10,7 @@ scalar reduction, so queue-and-return runtimes cannot undercount.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -17,6 +18,59 @@ import jax.numpy as jnp
 
 
 TARGET = 5000.0  # audio-seconds / s / chip (BASELINE.json north star)
+
+
+def _timed_chain(fn, variables, x, chain):
+    """Best-of-3 wall time of ``chain`` data-dependently linked fn calls,
+    measured through a host fetch (async-dispatch-proof)."""
+
+    @jax.jit
+    def run(v, m):
+        def body(i, carry):
+            out = fn(v, carry)
+            # fold an epsilon of the output back in: keeps every iteration
+            # data-dependent so XLA cannot hoist or elide any of them
+            return carry + (1e-12 * jnp.mean(out)).astype(carry.dtype)
+
+        return jnp.sum(jax.lax.fori_loop(0, chain, body, m))
+
+    jax.device_get(run(variables, x))  # compile + warm up
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(run(variables, x))
+        best = min(best, time.perf_counter() - t0)
+    return best / chain
+
+
+def _acoustic_audio_s_per_s(on_tpu, dtype):
+    """Text->mel inference throughput, expressed as audio-s/s at the model's
+    frame capacity (hop 256 @ 16 kHz => 16 ms of audio per produced frame)."""
+    from toucan_tpu.models.toucan_tts import ToucanTTS, ToucanTTSConfig
+
+    model = ToucanTTS(ToucanTTSConfig(dtype=dtype))
+    rng = jax.random.PRNGKey(0)
+    b, tmax, frames = (8, 128, 1024) if on_tpu else (1, 16, 64)
+    text = (jax.random.uniform(rng, (b, tmax, 62)) > 0.5).astype(dtype)
+    text_lengths = jnp.full((b,), tmax, jnp.int32)
+    utt = jax.random.normal(rng, (b, 64), dtype)
+    lang = jnp.zeros((b, 1), jnp.int32)
+    noise = (jax.random.normal(rng, (b, frames, 80)) * 0.8).astype(dtype)
+    variables = jax.jit(
+        lambda r, t: model.init(r, t, text_lengths, frames,
+                                utterance_embedding=utt, lang_ids=lang,
+                                glow_noise=noise, method=ToucanTTS.infer)
+    )(rng, text)
+
+    def fwd(v, t):
+        mel = model.apply(v, t, text_lengths, frames,
+                          utterance_embedding=utt, lang_ids=lang,
+                          glow_noise=noise, method=ToucanTTS.infer)[1]
+        # feed a scalar of the mel back into the text input for chaining
+        return jnp.mean(mel)[None, None, None]
+
+    sec_per_call = _timed_chain(fwd, variables, text, 8 if on_tpu else 2)
+    return b * frames * 256 / 16000.0 / sec_per_call
 
 
 def main():
@@ -36,32 +90,26 @@ def main():
     mel = jax.random.normal(rng, (batch, frames, 80), dtype)
     variables = jax.jit(model.init)(rng, mel)
 
-    @jax.jit
-    def synthesize_chain(v, m):
-        def body(i, carry):
-            wave = model.apply(v, carry)
-            # fold an epsilon of the output back in: keeps every iteration
-            # data-dependent so XLA cannot hoist or elide any of them
-            return carry + (1e-12 * jnp.mean(wave)).astype(carry.dtype)
+    sec_per_call = _timed_chain(
+        lambda v, m: model.apply(v, m), variables, mel, chain)
+    value = audio_seconds / sec_per_call
 
-        return jnp.sum(jax.lax.fori_loop(0, chain, body, m))
-
-    jax.device_get(synthesize_chain(variables, mel))  # compile + warm up
-
-    reps = 3
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.device_get(synthesize_chain(variables, mel))
-        best = min(best, time.perf_counter() - t0)
-    value = audio_seconds * chain / best
-
-    print(json.dumps({
+    result = {
         "metric": "vocoder_audio_seconds_per_second_per_chip",
         "value": round(value, 1),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(value / TARGET, 3),
-    }))
+    }
+    if os.environ.get("TOUCAN_BENCH_EXTRA", "1") != "0":
+        try:
+            acoustic = _acoustic_audio_s_per_s(on_tpu, dtype)
+            result["extra"] = {
+                "acoustic_audio_s_per_s": round(acoustic, 1),
+                "e2e_audio_s_per_s": round(1.0 / (1.0 / value + 1.0 / acoustic), 1),
+            }
+        except Exception as exc:  # extras must never kill the headline
+            result["extra"] = {"error": str(exc)[:200]}
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -234,9 +234,11 @@ class HiFiGANGenerator(nn.Module):
                     acc = acc + ResidualStack(ch, rk, dils, self.slope, dtype=self.dtype,
                                               name=f"block_{i}_{j}")(x)
                 x = acc / len(self.resblock_kernel_sizes)
-            if i == 1:
+            # Avocodo taps are only consumed by the CoMBD discriminator in
+            # training; skipping them in inference saves two C_out=1 convs.
+            if return_intermediates and i == 1:
                 x1 = nn.Conv(1, (7,), dtype=self.dtype, name="out_proj_x1")(x)
-            elif i == 2:
+            elif return_intermediates and i == 2:
                 x2 = nn.Conv(1, (7,), dtype=self.dtype, name="out_proj_x2")(x)
 
         x = leaky_relu(x, 0.01)  # reference output stage uses default slope

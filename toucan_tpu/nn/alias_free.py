@@ -78,6 +78,85 @@ def downsample2(x, ratio: int = 2, kernel_size: int = 12):
     return _grouped_conv(x, filt, ratio)
 
 
+# ---------------------------------------------------------------------------
+# Shifted-add (polyphase) formulation.
+#
+# The up/down FIRs share ONE 12-tap filter across all channels, so instead of
+# a grouped conv (which XLA lowers poorly on TPU for small channel counts)
+# each output is a sum of 6 scalar-weighted, edge-clamped time shifts of the
+# input — pure VPU adds that XLA fuses, with no channel mixing at all.  This
+# also makes the operation exact in *time-folded* layout (B, T/f, f*C): a
+# time shift is a pad+slice on the unfolded view (a free reshape), while the
+# adds run on >=128-lane arrays.  Derivations are checked exactly against the
+# conv implementations above in tests/test_bigvgan_folded.py.
+# ---------------------------------------------------------------------------
+
+
+def _shift_edge(x, s: int):
+    """x (B, T, C) -> x[t + s] with edge clamping (replicate padding)."""
+    t = x.shape[1]
+    if s == 0:
+        return x
+    if s > 0:
+        return jnp.concatenate(
+            [x[:, s:], jnp.repeat(x[:, -1:], s, axis=1)], axis=1)
+    return jnp.concatenate(
+        [jnp.repeat(x[:, :1], -s, axis=1), x[:, :t + s]], axis=1)
+
+
+def upsample2_shifted(x, kernel_size: int = 12):
+    """Exact ``upsample2(x, 2)`` via 2x6 scalar-weighted shifted adds.
+
+    y[2u+r] = 2 * sum_q filt[11-2q-r] * x[u + q + r - 3]  (x edge-clamped).
+    """
+    assert kernel_size == 12, "shifted-add path is specialized to k=12"
+    filt = kaiser_sinc_filter(0.25, 0.3, kernel_size)
+    phases = []
+    for r in range(2):
+        acc = None
+        for q in range(6):
+            term = 2.0 * float(filt[11 - 2 * q - r]) * _shift_edge(x, q + r - 3)
+            acc = term if acc is None else acc + term
+        phases.append(acc)
+    y = jnp.stack(phases, axis=2)  # (B, T, 2, C)
+    return y.reshape(x.shape[0], 2 * x.shape[1], x.shape[2])
+
+
+def downsample2_shifted(x, kernel_size: int = 12):
+    """Exact ``downsample2(x, 2)`` via deinterleave + shifted adds.
+
+    z[u] = sum_m filt[2m] * odd[u+m-3] + sum_m filt[2m+1] * even[u+m-2]
+    where even/odd are the two input phases (edge clamping applied in the
+    original, un-deinterleaved domain — reproduced exactly below).
+    """
+    assert kernel_size == 12, "shifted-add path is specialized to k=12"
+    filt = kaiser_sinc_filter(0.25, 0.3, kernel_size)
+    b, t, c = x.shape
+    xv = x.reshape(b, t // 2, 2, c)
+    even, odd = xv[:, :, 0], xv[:, :, 1]
+    # Edge clamp in the 2x domain: left pad replicates x[0] (an *even* sample)
+    # into both phases; right pad replicates x[-1] (an *odd* sample).
+    acc = None
+    for m in range(6):
+        src_e = _shift_edge(even, m - 2)
+        src_o = _shift_edge(odd, m - 3)
+        # boundary corrections: odd phase shifted left pulls x[-1]=even[0]
+        # at positions where the clamped 2x index was even; even phase
+        # shifted right pulls x[T-1]=odd[-1] likewise.
+        if m - 3 < 0:
+            n = 3 - m
+            src_o = jnp.concatenate(
+                [jnp.repeat(even[:, :1], n, axis=1), odd[:, :odd.shape[1] - n]],
+                axis=1)
+        if m - 2 > 0:
+            n = m - 2
+            src_e = jnp.concatenate(
+                [even[:, n:], jnp.repeat(odd[:, -1:], n, axis=1)], axis=1)
+        term = float(filt[2 * m + 1]) * src_e + float(filt[2 * m]) * src_o
+        acc = term if acc is None else acc + term
+    return acc
+
+
 def snake_beta(x, alpha, beta, logscale: bool = True, eps: float = 1e-9):
     """SnakeBeta activation x + sin^2(alpha x) / beta (per channel)."""
     if logscale:

@@ -104,7 +104,7 @@ def create_vocoder_train_state(rng, generator=None, discriminator=None,
     generator = generator or HiFiGANGenerator()
     disc = discriminator or AvocodoJointDiscriminator()
     mel = jnp.zeros((1, segment_frames, 80))
-    g_vars = generator.init(rng, mel)
+    g_vars = generator.init(rng, mel, return_intermediates=True)
     wave = jnp.zeros((1, segment_frames * 384, 1))
     d_vars = disc.init(rng, wave, wave[:, ::2], wave[:, ::8])
     g_opt, d_opt = make_vocoder_optimizers(g_lr, d_lr)
