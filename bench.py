@@ -101,14 +101,25 @@ def main():
         "vs_baseline": round(value / TARGET, 3),
     }
     if os.environ.get("TOUCAN_BENCH_EXTRA", "1") != "0":
+        result["extra"] = {}
         try:
             acoustic = _acoustic_audio_s_per_s(on_tpu, dtype)
-            result["extra"] = {
+            result["extra"].update({
                 "acoustic_audio_s_per_s": round(acoustic, 1),
                 "e2e_audio_s_per_s": round(1.0 / (1.0 / value + 1.0 / acoustic), 1),
-            }
+            })
         except Exception as exc:  # extras must never kill the headline
-            result["extra"] = {"error": str(exc)[:200]}
+            result["extra"]["error"] = str(exc)[:200]
+        try:
+            from toucan_tpu.models.vocoders import BigVGAN
+
+            bmodel = BigVGAN(dtype=dtype)
+            bvars = jax.jit(bmodel.init)(rng, mel)
+            sec = _timed_chain(lambda v, m: bmodel.apply(v, m), bvars, mel,
+                               max(chain // 2, 2))
+            result["extra"]["bigvgan_audio_s_per_s"] = round(audio_seconds / sec, 1)
+        except Exception as exc:
+            result["extra"]["bigvgan_error"] = str(exc)[:200]
     print(json.dumps(result))
 
 

@@ -14,14 +14,17 @@ import jax
 import jax.numpy as jnp
 
 from toucan_tpu.models.vocoders import BigVGAN
+from toucan_tpu.kernels.folded_conv import fold_time, unfold_time
 from toucan_tpu.nn.alias_free import (
     alias_free_snake,
+    alias_free_snake_dw,
+    alias_free_snake_folded,
+    alias_free_snake_shifted,
     downsample2,
     downsample2_shifted,
     upsample2,
     upsample2_shifted,
 )
-from toucan_tpu.models.vocoders.bigvgan import alias_free_snake_shifted
 
 
 @pytest.mark.parametrize("t", [8, 30, 100])
@@ -44,6 +47,57 @@ def test_alias_free_snake_shifted_matches_conv():
     a = alias_free_snake(x, alpha, beta)
     b = alias_free_snake_shifted(x, alpha, beta)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
+@pytest.mark.parametrize("t,f", [(64, 2), (64, 4), (40, 8), (16, 4)])
+def test_alias_free_snake_folded_exact_incl_edges(t, f):
+    """MXU phase-conv path + edge patch == replicate-padded reference,
+    at every sample including the boundaries."""
+    rng = np.random.default_rng(t * 10 + f)
+    c = 8
+    x = jnp.asarray(rng.standard_normal((2, t, c)).astype(np.float32))
+    alpha = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.1)
+    beta = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.1)
+    ref = alias_free_snake(x, alpha, beta)
+    got = unfold_time(alias_free_snake_folded(fold_time(x, f), alpha, beta, f), f)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("t,f", [(64, 4), (64, 2), (64, 1), (40, 8), (16, 4)])
+def test_alias_free_snake_pallas_exact_incl_edges(t, f):
+    """Fused VPU pallas kernel (interpret mode) + edge patch == reference."""
+    rng = np.random.default_rng(t * 100 + f)
+    c = 8
+    x = jnp.asarray(rng.standard_normal((2, t, c)).astype(np.float32))
+    alpha = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.1)
+    beta = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.1)
+    ref = alias_free_snake(x, alpha, beta)
+    got = unfold_time(
+        alias_free_snake_folded(fold_time(x, f), alpha, beta, f,
+                                pallas=True, pallas_interpret=True), f)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_bigvgan_pallas_act_matches_plain():
+    mel = jnp.asarray(np.random.RandomState(1).randn(1, 8, 80).astype(np.float32))
+    plain = BigVGAN(use_folding=False)
+    fast = BigVGAN(pallas_act=True, pallas_interpret=True)
+    variables = plain.init(jax.random.PRNGKey(0), mel)
+    ref = plain.apply(variables, mel)
+    got = fast.apply(variables, mel)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("t", [64, 30])
+def test_alias_free_snake_dw_exact_incl_edges(t):
+    rng = np.random.default_rng(t)
+    c = 8
+    x = jnp.asarray(rng.standard_normal((2, t, c)).astype(np.float32))
+    alpha = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.1)
+    beta = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.1)
+    ref = alias_free_snake(x, alpha, beta)
+    got = alias_free_snake_dw(x, alpha, beta)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
 def test_bigvgan_folded_matches_plain():

@@ -22,9 +22,8 @@ import jax.numpy as jnp
 
 from toucan_tpu.nn.alias_free import (
     alias_free_snake,
-    downsample2_shifted,
-    snake_beta,
-    upsample2_shifted,
+    alias_free_snake_folded,
+    alias_free_snake_shifted,
 )
 from toucan_tpu.kernels.folded_conv import (
     fold_time,
@@ -35,20 +34,16 @@ from toucan_tpu.kernels.folded_conv import (
 from toucan_tpu.models.vocoders.hifigan import _ConvParams, conv_transpose_1d
 
 
-def alias_free_snake_shifted(x, alpha, beta, logscale: bool = True):
-    """Activation1d equivalent built from the shifted-add resamplers."""
-    x = upsample2_shifted(x)
-    x = snake_beta(x, alpha, beta, logscale)
-    return downsample2_shifted(x)
-
-
 class AMPBlock(nn.Module):
     channels: int
     kernel_size: int = 3
     dilations: Sequence[int] = (1, 3, 5)
     dtype: jnp.dtype = jnp.float32
     fold: int = 1  # >1: run convs time-folded on fold*channels MXU lanes
-    shifted_resample: bool = True  # polyphase shifted-add up/down FIRs
+    mxu_act: bool = False  # phase-conv activation even at fold == 1
+    shifted_resample: bool = False  # fold==1 FIRs: shifted adds vs grouped conv
+    pallas_act: bool = False  # fused VPU kernel for the alias-free snake
+    pallas_interpret: bool = False
 
     def _act_params(self, idx):
         alpha = self.param(f"alpha_{idx}", nn.initializers.zeros,
@@ -63,14 +58,13 @@ class AMPBlock(nn.Module):
 
         def act(xs, idx):
             alpha, beta = self._act_params(idx)
-            if self.fold > 1:  # activation on the unfolded view (reshape)
-                xs = unfold_time(xs, self.fold)
+            if self.fold > 1 or self.mxu_act:  # folded layout (MXU or VPU)
+                return alias_free_snake_folded(
+                    xs, alpha, beta, self.fold, pallas=self.pallas_act,
+                    pallas_interpret=self.pallas_interpret)
             fn = (alias_free_snake_shifted if self.shifted_resample
                   else alias_free_snake)
-            xs = fn(xs, alpha, beta, logscale=True)
-            if self.fold > 1:
-                xs = fold_time(xs, self.fold)
-            return xs
+            return fn(xs, alpha, beta, logscale=True)
 
         for i, dilation in enumerate(self.dilations):
             xt = act(x, 2 * i)
@@ -105,7 +99,10 @@ class BigVGAN(nn.Module):
     dtype: jnp.dtype = jnp.float32
     min_lanes: int = 128   # fold stages whose channels fall below this
     use_folding: bool = True
-    shifted_resample: bool = True
+    mxu_act: bool = False  # phase-conv activations on the >=128-channel stages too
+    shifted_resample: bool = False
+    pallas_act: bool = False  # fused VPU alias-free snake (folded stages)
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, c, return_intermediates: bool = False):
@@ -133,7 +130,10 @@ class BigVGAN(nn.Module):
             for j, (rk, dils) in enumerate(zip(self.resblock_kernel_sizes,
                                                self.resblock_dilations)):
                 acc = acc + AMPBlock(ch, rk, dils, dtype=self.dtype, fold=fold,
+                                     mxu_act=self.mxu_act,
                                      shifted_resample=self.shifted_resample,
+                                     pallas_act=self.pallas_act,
+                                     pallas_interpret=self.pallas_interpret,
                                      name=f"amp_{i}_{j}")(x)
             x = acc / len(self.resblock_kernel_sizes)
             if fold > 1:
@@ -145,9 +145,17 @@ class BigVGAN(nn.Module):
 
         alpha = self.param("post_alpha", nn.initializers.zeros, (ch,), self.dtype)
         beta = self.param("post_beta", nn.initializers.zeros, (ch,), self.dtype)
-        post_act = (alias_free_snake_shifted if self.shifted_resample
-                    else alias_free_snake)
-        x = post_act(x, alpha, beta, logscale=True)
+        post_fold = (self.min_lanes // ch
+                     if (self.use_folding and ch < self.min_lanes) else 1)
+        if post_fold > 1 and x.shape[1] % post_fold == 0:
+            x = unfold_time(alias_free_snake_folded(
+                fold_time(x, post_fold), alpha, beta, post_fold,
+                pallas=self.pallas_act,
+                pallas_interpret=self.pallas_interpret), post_fold)
+        else:
+            post_act = (alias_free_snake_shifted if self.shifted_resample
+                        else alias_free_snake)
+            x = post_act(x, alpha, beta, logscale=True)
         if self.use_folding and x.shape[1] % 64 == 0:
             # C_out=1 leaves the MXU 99% idle; emit 64 folded output lanes
             ok, ob = _ConvParams(7, ch, 1, self.dtype, name="conv_post")()

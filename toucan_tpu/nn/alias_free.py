@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from toucan_tpu.kernels.folded_conv import fold_time, folded_conv, unfold_time
+
 
 @lru_cache(maxsize=None)
 def kaiser_sinc_filter(cutoff: float, half_width: float, kernel_size: int) -> np.ndarray:
@@ -44,6 +46,7 @@ def kaiser_sinc_filter(cutoff: float, half_width: float, kernel_size: int) -> np
 def _grouped_conv(x, filt, stride):
     """x (B, T, C) depthwise-filtered with the shared 1-D filter."""
     c = x.shape[-1]
+    filt = filt.astype(x.dtype)
     kernel = jnp.broadcast_to(filt[:, None, None], (filt.shape[0], 1, c))
     return jax.lax.conv_general_dilated(
         x, kernel, window_strides=(stride,), padding="VALID",
@@ -52,7 +55,8 @@ def _grouped_conv(x, filt, stride):
 
 def upsample2(x, ratio: int = 2, kernel_size: int = 12):
     """Sinc interpolation by ``ratio`` with replicate edge padding."""
-    filt = jnp.asarray(kaiser_sinc_filter(0.5 / ratio, 0.6 / ratio, kernel_size))
+    filt = jnp.asarray(kaiser_sinc_filter(0.5 / ratio, 0.6 / ratio, kernel_size),
+                       dtype=x.dtype)
     stride = ratio
     pad = kernel_size // ratio - 1
     pad_left = pad * stride + (kernel_size - stride) // 2
@@ -157,12 +161,160 @@ def downsample2_shifted(x, kernel_size: int = 12):
     return acc
 
 
+# sin^2(pi t) = z * P(z), z = t^2, t in [-0.5, 0.5]; max abs err 6.8e-8
+# (Chebyshev fit).  jnp.sin costs ~2.3 ms per pass over a vocoder stage on
+# the VPU (measured, BENCH_NOTES.md); this 6-term even polynomial with
+# period-pi range reduction is ~5x cheaper and fuses into conv epilogues.
+_SIN_SQ_COEFS = (9.869604338201981, -32.46967731890368, 42.72741895949323,
+                 -30.104237595081692, 13.063995182628235, -3.3807205898726918)
+
+
+def sin_sq(y):
+    """sin(y)^2 to ~7e-8 absolute accuracy, cheap on TPU VPUs."""
+    dtype = y.dtype
+    t = y.astype(jnp.float32) * jnp.float32(1.0 / np.pi)
+    t = t - jnp.floor(t + 0.5)  # period-pi reduction; continuous at t=+-0.5
+    z = t * t
+    p = jnp.float32(_SIN_SQ_COEFS[-1])
+    for coef in _SIN_SQ_COEFS[-2::-1]:
+        p = p * z + jnp.float32(coef)
+    return (z * p).astype(dtype)
+
+
 def snake_beta(x, alpha, beta, logscale: bool = True, eps: float = 1e-9):
     """SnakeBeta activation x + sin^2(alpha x) / beta (per channel)."""
     if logscale:
         alpha = jnp.exp(alpha)
         beta = jnp.exp(beta)
-    return x + (1.0 / (beta + eps)) * jnp.sin(x * alpha) ** 2
+    return x + (1.0 / (beta + eps)) * sin_sq(x * alpha)
+
+
+# ---------------------------------------------------------------------------
+# MXU (folded phase-conv) formulation.
+#
+# The 2x-rate signal never needs to exist: up/down split into two 6-tap
+# polyphase FIRs per direction, each expressible as a 7-tap *dense folded*
+# conv (diagonal channel structure, block-Toeplitz over fold slots — see
+# kernels/folded_conv.py) running on >=128 MXU lanes, and Snake applies to
+# the two phase arrays elementwise in folded layout.  Measured ~2x faster
+# than the grouped-conv FIRs on the C<128 vocoder stages.  folded_conv
+# zero-pads where the reference replicates edges, so the first/last samples
+# are patched with the exact shifted-add computation on small edge windows.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _phase_filters():
+    """12-tap up/down kaiser-sinc filters as 4 centered 7-tap phase FIRs.
+
+    up:   y[2u+r] = 2 * sum_q filt[11-2q-r] * x[u + (q+r-3)]
+    down: z[t]    = sum_m filt[2m+1] * even[t + (m-2)] + filt[2m] * odd[t + (m-3)]
+    (derivations verified exactly against upsample2/downsample2 in
+    tests/test_bigvgan_folded.py)
+    """
+    filt = kaiser_sinc_filter(0.25, 0.3, 12)
+    k_up0 = np.zeros(7, np.float32)
+    k_up1 = np.zeros(7, np.float32)
+    k_dn_even = np.zeros(7, np.float32)
+    k_dn_odd = np.zeros(7, np.float32)
+    for q in range(6):
+        k_up0[q] = 2.0 * filt[11 - 2 * q]          # offset q-3
+        k_up1[q + 1] = 2.0 * filt[11 - 2 * q - 1]  # offset q-2
+        k_dn_even[q + 1] = filt[2 * q + 1]         # offset q-2
+        k_dn_odd[q] = filt[2 * q]                  # offset q-3
+    return k_up0, k_up1, k_dn_even, k_dn_odd
+
+
+def _diag_kernel(taps: np.ndarray, c: int, dtype) -> jnp.ndarray:
+    return jnp.asarray(taps[:, None, None] * np.eye(c, dtype=np.float32)[None],
+                       dtype)
+
+
+def alias_free_snake_folded(x_folded, alpha, beta, f: int, logscale: bool = True,
+                            pallas: bool = False, pallas_interpret: bool = False):
+    """Activation1d equivalent on a time-folded (B, T/f, f*C) sequence.
+
+    Interior samples come from the MXU phase-conv path (or, with
+    ``pallas=True``, the fused VPU kernel in ``kernels/pallas_aliasfree.py``
+    — same zero-pad semantics, no intermediate HBM round-trips); the <=6
+    samples at each sequence edge (where zero padding differs from the
+    reference's replicate padding) are recomputed exactly and stitched back
+    in at fold-block granularity.
+    """
+    fc = x_folded.shape[-1]
+    c = fc // f
+    if pallas:
+        from toucan_tpu.kernels.pallas_aliasfree import (
+            fused_alias_free_snake_interior,
+        )
+
+        z = fused_alias_free_snake_interior(
+            x_folded, alpha, beta, f, logscale, interpret=pallas_interpret)
+    else:
+        k0, k1, kde, kdo = (_diag_kernel(t, c, x_folded.dtype)
+                            for t in _phase_filters())
+        zero_b = jnp.zeros((c,), x_folded.dtype)
+        alpha_f, beta_f = jnp.tile(alpha, f), jnp.tile(beta, f)
+
+        even = folded_conv(x_folded, k0, zero_b, f, 1)
+        odd = folded_conv(x_folded, k1, zero_b, f, 1)
+        even = snake_beta(even, alpha_f, beta_f, logscale)
+        odd = snake_beta(odd, alpha_f, beta_f, logscale)
+        z = (folded_conv(even, kde, zero_b, f, 1)
+             + folded_conv(odd, kdo, zero_b, f, 1))
+
+    # exact edge patch: w >= 6 samples, rounded up to whole fold blocks
+    w = -(-6 // f) * f
+    blocks = w // f
+    win = w + 18  # dependency halo of z[0:w] is x[:w+12]; margin is free
+    b, n, _ = x_folded.shape
+    win_blocks = -(-win // f)  # ceil
+    if n >= 2 * win_blocks:
+        left = unfold_time(x_folded[:, :win_blocks], f)
+        right = unfold_time(x_folded[:, -win_blocks:], f)
+        zl = alias_free_snake_shifted(left, alpha, beta, logscale)[:, :w]
+        zr = alias_free_snake_shifted(right, alpha, beta, logscale)[:, -w:]
+        z = jnp.concatenate([fold_time(zl, f), z[:, blocks:n - blocks],
+                             fold_time(zr, f)], axis=1)
+    else:  # sequence too short for interior/edge split: exact path throughout
+        z = fold_time(alias_free_snake_shifted(
+            unfold_time(x_folded, f), alpha, beta, logscale), f)
+    return z
+
+
+def alias_free_snake_shifted(x, alpha, beta, logscale: bool = True):
+    """upsample2 -> SnakeBeta -> downsample2 via the shifted-add resamplers
+    (exact replicate-edge semantics; used for edge patches and tests)."""
+    x = upsample2_shifted(x)
+    x = snake_beta(x, alpha, beta, logscale)
+    return downsample2_shifted(x)
+
+
+def alias_free_snake_dw(x, alpha, beta, logscale: bool = True):
+    """Activation1d via 4 depthwise 7-tap phase convs (no lhs dilation, no
+    stride): the 2x-rate signal never materializes.  Zero-padded interior +
+    exact edge patch, like the folded variant; best layout for channels
+    around 256 where grouped convs are lane-efficient but the dilated
+    transpose of ``upsample2`` is not."""
+    k0, k1, kde, kdo = _phase_filters()
+    c = x.shape[-1]
+    mk = lambda t: jnp.broadcast_to(jnp.asarray(t, x.dtype)[:, None, None],
+                                    (7, 1, c))
+    conv = lambda v, k: jax.lax.conv_general_dilated(
+        v, k, (1,), [(3, 3)], dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=c)
+    even = snake_beta(conv(x, mk(k0)), alpha, beta, logscale)
+    odd = snake_beta(conv(x, mk(k1)), alpha, beta, logscale)
+    z = conv(even, mk(kde)) + conv(odd, mk(kdo))
+
+    w, win = 6, 24
+    if x.shape[1] >= 2 * win:
+        zl = alias_free_snake_shifted(x[:, :win], alpha, beta, logscale)[:, :w]
+        zr = alias_free_snake_shifted(x[:, -win:], alpha, beta, logscale)[:, -w:]
+        z = jnp.concatenate([zl, z[:, w:-w], zr], axis=1)
+    else:
+        z = alias_free_snake_shifted(x, alpha, beta, logscale)
+    return z
 
 
 def alias_free_snake(x, alpha, beta, logscale: bool = True):
