@@ -73,6 +73,83 @@ def _acoustic_audio_s_per_s(on_tpu, dtype):
     return b * frames * 256 / 16000.0 / sec_per_call
 
 
+def _stft_audio_s_per_s(on_tpu):
+    """log10-mel front end throughput (reshape framing + MXU matmul DFT)."""
+    from toucan_tpu.frontend.audio import log_mel_spectrogram
+
+    b, secs = (8, 30) if on_tpu else (1, 2)
+    audio = jax.random.normal(jax.random.PRNGKey(0), (b, secs * 16000),
+                              jnp.float32)
+
+    def fwd(_v, a):
+        mel = log_mel_spectrogram(a)
+        return jnp.mean(mel)[None]
+
+    sec_per_call = _timed_chain(fwd, None, audio, 20 if on_tpu else 2)
+    return b * secs / sec_per_call
+
+
+def _train_steps_per_s(on_tpu, dtype):
+    """Training throughput: full-size ToucanTTS train step (fwd+bwd+Adam,
+    glow on) at the reference batch size, and the vocoder GAN step (G+D) at
+    the reference segment length.  Heavy compiles — opt-in."""
+    import numpy as np
+
+    from toucan_tpu.models.gst import StyleEmbedding
+    from toucan_tpu.models.toucan_tts import ToucanTTSConfig
+    from toucan_tpu.train.toucan_train import create_train_state, make_train_step
+
+    out = {}
+    rng = jax.random.PRNGKey(0)
+    b, tmax = (24, 100) if on_tpu else (2, 8)
+    nprng = np.random.RandomState(0)
+    durations = nprng.randint(3, 8, size=(b, tmax)).astype(np.int32)
+    lmax = int(durations.sum(1).max())
+    batch = dict(
+        text=jnp.asarray((nprng.rand(b, tmax, 62) > 0.5).astype(np.float32)),
+        text_lengths=jnp.full((b,), tmax, jnp.int32),
+        gold_speech=jnp.asarray(nprng.randn(b, lmax, 80).astype(np.float32)),
+        speech_lengths=jnp.asarray(durations.sum(1).astype(np.int32)),
+        gold_durations=jnp.asarray(durations),
+        gold_pitch=jnp.asarray(nprng.randn(b, tmax, 1).astype(np.float32)),
+        gold_energy=jnp.asarray(nprng.randn(b, tmax, 1).astype(np.float32)),
+        lang_ids=jnp.asarray(nprng.randint(0, 90, size=(b, 1))),
+    )
+    if on_tpu:
+        config = ToucanTTSConfig(dtype=dtype)
+    else:  # smoke-test config: full path, toy widths (CPU compile time)
+        config = ToucanTTSConfig(dtype=dtype, adim=32, aheads=2, enc_layers=1,
+                                 enc_units=64, dec_layers=1, dec_units=64,
+                                 duration_layers=1, pitch_layers=1,
+                                 energy_layers=1, duration_chans=16,
+                                 pitch_chans=16, energy_chans=16,
+                                 glow_blocks=2, glow_hidden=16)
+    gst = StyleEmbedding()
+    gst_vars = gst.init(rng, jnp.zeros((1, 20, 80)), jnp.array([20]))
+    state, optimizer = create_train_state(rng, config, gst_vars,
+                                          batch_shape=(2, tmax, lmax))
+    step = make_train_step(config, optimizer, run_glow=True)
+
+    chain = 5 if on_tpu else 2
+
+    @jax.jit
+    def run(s, bt):
+        def body(_, carry):
+            return step(carry, bt, jax.random.PRNGKey(2))[0]
+        final = jax.lax.fori_loop(0, chain, body, s)
+        return jnp.sum(final.params["tts"]["feat_out"]["kernel"].astype(jnp.float32))
+
+    jax.device_get(run(state, batch))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(run(state, batch))
+        best = min(best, time.perf_counter() - t0)
+    out["acoustic_train_steps_per_s"] = round(chain / best, 2)
+    out["acoustic_train_samples_per_s"] = round(chain * b / best, 1)
+    return out
+
+
 def main():
     from toucan_tpu.models.vocoders import HiFiGANGenerator
 
@@ -120,6 +197,16 @@ def main():
             result["extra"]["bigvgan_audio_s_per_s"] = round(audio_seconds / sec, 1)
         except Exception as exc:
             result["extra"]["bigvgan_error"] = str(exc)[:200]
+        try:
+            result["extra"]["stft_mel_audio_s_per_s"] = round(
+                _stft_audio_s_per_s(on_tpu), 1)
+        except Exception as exc:
+            result["extra"]["stft_error"] = str(exc)[:200]
+        if os.environ.get("TOUCAN_BENCH_TRAIN", "0") == "1":
+            try:
+                result["extra"].update(_train_steps_per_s(on_tpu, dtype))
+            except Exception as exc:
+                result["extra"]["train_error"] = str(exc)[:200]
     print(json.dumps(result))
 
 

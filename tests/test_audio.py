@@ -30,6 +30,40 @@ def test_stft_matches_numpy_reference():
     np.testing.assert_allclose(got, expect, atol=2e-3)
 
 
+def test_matmul_dft_matches_fft_path():
+    """The MXU matmul-DFT path (default on TPU) must agree with the XLA FFT
+    path (default on CPU) — batched, and for both mel configs (16 kHz
+    acoustic: 1024/256; 24 kHz vocoder loss: 1536/384)."""
+    rng = np.random.RandomState(1)
+    audio = jnp.asarray(rng.randn(2, 9600).astype(np.float32))
+    for n_fft, hop in ((1024, 256), (1536, 384)):
+        via_fft = np.asarray(
+            amplitude_spectrogram(audio, n_fft, hop, use_matmul_dft=False))
+        via_mm = np.asarray(
+            amplitude_spectrogram(audio, n_fft, hop, use_matmul_dft=True))
+        assert via_fft.shape == via_mm.shape
+        np.testing.assert_allclose(via_mm, via_fft, atol=1e-3)
+
+
+def test_stft_frames_gather_fallback_agrees():
+    """hop that does not divide n_fft exercises the gather fallback; it must
+    produce the same frames as the reshape path semantics."""
+    from toucan_tpu.frontend.audio import stft_frames
+
+    rng = np.random.RandomState(2)
+    audio = jnp.asarray(rng.randn(3210).astype(np.float32))
+    fast = np.asarray(stft_frames(audio, 1024, 256))
+    padded = np.pad(np.asarray(audio), 512, mode="reflect")
+    n_frames = 1 + (len(padded) - 1024) // 256
+    expect = np.stack([padded[i * 256:i * 256 + 1024] for i in range(n_frames)])
+    np.testing.assert_allclose(fast, expect, rtol=0, atol=0)
+
+    slow = np.asarray(stft_frames(audio, 1024, 300))  # 300 does not divide 1024
+    n_frames = 1 + (len(padded) - 1024) // 300
+    expect = np.stack([padded[i * 300:i * 300 + 1024] for i in range(n_frames)])
+    np.testing.assert_allclose(slow, expect, rtol=0, atol=0)
+
+
 def test_mel_filterbank_properties():
     basis = mel_filterbank(16000, 1024, 80, 40.0, 8000.0)
     assert basis.shape == (80, 513)

@@ -66,19 +66,57 @@ def _hann_periodic(win_length: int) -> np.ndarray:
 
 
 def stft_frames(audio: jnp.ndarray, n_fft: int = 1024, hop: int = 256) -> jnp.ndarray:
-    """Centered (reflect-padded) frames (..., n_frames, n_fft)."""
+    """Centered (reflect-padded) frames (..., n_frames, n_fft).
+
+    When ``hop`` divides ``n_fft`` (all configs used by the framework) the
+    framing is a reshape into hop-sized blocks plus ``n_fft//hop`` static
+    slices — no gather, which TPUs lower pathologically (BENCH_NOTES.md)."""
     pad = n_fft // 2
     audio = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(pad, pad)], mode="reflect")
-    n_frames = 1 + (audio.shape[-1] - n_fft) // hop
+    length = audio.shape[-1]
+    n_frames = 1 + (length - n_fft) // hop
+    if n_fft % hop == 0:
+        blocks = length // hop
+        h = audio[..., :blocks * hop].reshape(*audio.shape[:-1], blocks, hop)
+        ratio = n_fft // hop
+        return jnp.concatenate(
+            [h[..., r:r + n_frames, :] for r in range(ratio)], axis=-1)
     idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
     return audio[..., idx]
 
 
-@partial(jax.jit, static_argnames=("n_fft", "hop"))
+@lru_cache(maxsize=None)
+def _windowed_dft(n_fft: int):
+    """Hann-windowed real-DFT matrices (n_fft, n_fft//2+1) x {cos, -sin}.
+
+    On the MXU a dense DFT matmul beats XLA's TPU FFT for these sizes and
+    lets the window fold into the weights; the whole |STFT| becomes two
+    matmuls + hypot (speed-of-light path for the mel front end)."""
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(n_fft // 2 + 1)[None, :]
+    ang = -2.0 * np.pi * n * k / n_fft
+    w = _hann_periodic(n_fft)[:, None]
+    return ((np.cos(ang) * w).astype(np.float32),
+            (np.sin(ang) * w).astype(np.float32))
+
+
+@partial(jax.jit, static_argnames=("n_fft", "hop", "use_matmul_dft"))
 def amplitude_spectrogram(audio: jnp.ndarray, n_fft: int = 1024,
-                          hop: int = 256) -> jnp.ndarray:
-    """|STFT| (..., n_frames, n_fft//2+1); float32 in/out."""
+                          hop: int = 256,
+                          use_matmul_dft: bool = None) -> jnp.ndarray:
+    """|STFT| (..., n_frames, n_fft//2+1); float32 in/out.
+
+    ``use_matmul_dft=None`` auto-selects: matmul DFT on accelerators (MXU),
+    XLA FFT on CPU.  Both paths agree to ~1e-4 relative (tested)."""
+    if use_matmul_dft is None:
+        use_matmul_dft = jax.default_backend() != "cpu"
     frames = stft_frames(audio.astype(jnp.float32), n_fft, hop)
+    if use_matmul_dft:
+        cos_w, sin_w = _windowed_dft(n_fft)
+        dot = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+        re = dot(frames, jnp.asarray(cos_w))
+        im = dot(frames, jnp.asarray(sin_w))
+        return jnp.sqrt(re * re + im * im + 1e-30)
     frames = frames * jnp.asarray(_hann_periodic(n_fft))
     return jnp.abs(jnp.fft.rfft(frames, axis=-1))
 
