@@ -121,3 +121,20 @@ def test_emotion_and_vivos_templates(tmp_path):
     d = cr.vivos(str(viv))
     assert d == {str(viv / "waves" / "VIVOSSPK01" / "VIVOSSPK01_R001.wav"):
                  "xin chao"}
+
+
+def test_run_scripts_importable():
+    """Every reference run_*.py entry point has an importable equivalent
+    (main-guarded; optional deps like gradio must not break import)."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scripts = [f for f in os.listdir(root)
+               if f.startswith("run_") and f.endswith(".py")]
+    assert len(scripts) >= 8, scripts
+    for fname in scripts:
+        spec = importlib.util.spec_from_file_location(
+            fname[:-3], os.path.join(root, fname))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)  # must not raise

@@ -8,11 +8,19 @@ with ``jax.lax.ppermute`` (ring neighbors), then crops the halo from the
 waveform.  The result is bit-identical to unsharded synthesis because the
 halo exceeds the generator's receptive field.
 
-Receptive field accounting (HiFiGAN/BigVGAN, mel-frame units): the input
-conv (k=7) plus each upsample stage's transposed conv and residual stacks
-(max span (11-1)*5 samples at the stage rate) telescope to < 16 mel
-frames; HALO_FRAMES = 32 is comfortably conservative (~1.5% overhead at
-2048-frame chunks).
+Receptive field accounting (mel-frame units): the input conv (k=7) plus
+each upsample stage's transposed conv and residual stacks (max span
+(11-1)*5 samples at the stage rate) telescope to < 16 mel frames for
+HiFiGAN and ~23 for BigVGAN (each alias-free Snake adds ~±4 samples at
+its stage rate, 18 acts per stage); HALO_FRAMES = 32 covers both
+(~1.5% overhead at 2048-frame chunks).
+
+Global-edge handling: the chunks at the sequence boundary use *shifted*
+windows (no synthetic halo) so the generator applies its own edge
+semantics — conv zero-padding, BigVGAN's replicate-padded resamplers — at
+the true sequence edge exactly as the unsharded call would.  A zero or
+replicated fake halo there would contaminate the first/last receptive
+field of output with any trained (nonzero-bias) checkpoint.
 """
 
 from __future__ import annotations
@@ -41,29 +49,37 @@ def sharded_vocoder_synthesis(vocoder, variables, mel: jnp.ndarray, mesh: Mesh,
     t = mel.shape[0]
     assert t % n == 0, f"mel frames {t} not divisible by {n} shards"
     chunk = t // n
-    assert chunk > halo, "chunks must exceed the halo"
+    if n == 1:
+        return vocoder.apply(variables, mel[None])[0, :, 0]
+    assert chunk >= 2 * halo, "chunks must cover two halos"
 
     def local_synthesis(mel_local):
         """mel_local (chunk, 80) on each device."""
         idx = jax.lax.axis_index(axis)
         right_of = [(i, (i + 1) % n) for i in range(n)]
         left_of = [(i, (i - 1) % n) for i in range(n)]
-        # neighbor edges: receive the left neighbor's last `halo` frames and
-        # the right neighbor's first `halo` frames (ring exchange over ICI)
-        from_left = jax.lax.ppermute(mel_local[-halo:], axis, right_of)
-        from_right = jax.lax.ppermute(mel_local[:halo], axis, left_of)
-        # zero the wrapped edges at the sequence boundary
-        from_left = jnp.where(idx == 0, 0.0, from_left)
-        from_right = jnp.where(idx == n - 1, 0.0, from_right)
+        # ring exchange over ICI: each device receives the left neighbor's
+        # last 2*halo frames and the right neighbor's first 2*halo frames
+        # (the doubled span feeds the shifted windows of the edge chunks)
+        left1 = jax.lax.ppermute(mel_local[-halo:], axis, right_of)
+        left2 = jax.lax.ppermute(mel_local[-2 * halo:-halo], axis, right_of)
+        right1 = jax.lax.ppermute(mel_local[:halo], axis, left_of)
+        right2 = jax.lax.ppermute(mel_local[halo:2 * halo], axis, left_of)
 
-        extended = jnp.concatenate([from_left, mel_local, from_right], axis=0)
+        # interior chunks: symmetric halo.  Global-edge chunks: a window
+        # shifted fully inside the sequence, so the generator's own edge
+        # semantics apply at the true sequence boundary (exactness with
+        # nonzero biases / replicate-padded resamplers).
+        first = jnp.concatenate([mel_local, right1, right2], axis=0)
+        inner = jnp.concatenate([left1, mel_local, right1], axis=0)
+        last = jnp.concatenate([left2, left1, mel_local], axis=0)
+        extended = jnp.where(idx == 0, first,
+                             jnp.where(idx == n - 1, last, inner))
         wave = vocoder.apply(variables, extended[None])[0, :, 0]
 
-        # boundary-exactness: the generator zero-pads at its input edges, so
-        # the first/last chunks must also see zero halos (they do, above);
-        # interior chunks crop the halo-generated samples away
-        return wave[halo * SAMPLES_PER_FRAME:
-                    (halo + chunk) * SAMPLES_PER_FRAME]
+        offset = jnp.where(idx == 0, 0, jnp.where(idx == n - 1, 2 * halo, halo))
+        return jax.lax.dynamic_slice(wave, (offset * SAMPLES_PER_FRAME,),
+                                     (chunk * SAMPLES_PER_FRAME,))
 
     fn = shard_map(local_synthesis, mesh=mesh, in_specs=P(axis),
                    out_specs=P(axis), check_rep=False)
@@ -73,9 +89,17 @@ def sharded_vocoder_synthesis(vocoder, variables, mel: jnp.ndarray, mesh: Mesh,
 def synthesize_longform(vocoder, variables, mel: np.ndarray, mesh: Mesh,
                         axis: str = "data", halo: int = HALO_FRAMES):
     """Convenience wrapper: pads T to a shard multiple, runs the sharded
-    synthesis, trims back to T*384 samples."""
+    synthesis, trims back to T*384 samples.
+
+    When padding was needed, the last ``halo`` frames' waveform is patched
+    with a small unsharded synthesis of the true tail window, because the
+    zero-padded sequence puts the generator's edge semantics at the padded
+    boundary instead of the true one (exactness with trained weights)."""
     n = mesh.shape[axis]
     t = len(mel)
+    if t < 2 * halo * n:  # too short to shard meaningfully: one device
+        return np.asarray(vocoder.apply(variables,
+                                        jnp.asarray(mel[None]))[0, :, 0])
     t_pad = (t + n - 1) // n * n
     mel_p = np.zeros((t_pad, mel.shape[1]), np.float32)
     mel_p[:t] = mel
@@ -83,4 +107,11 @@ def synthesize_longform(vocoder, variables, mel: np.ndarray, mesh: Mesh,
                              NamedSharding(mesh, P(axis)))
     wave = sharded_vocoder_synthesis(vocoder, variables, mel_dev, mesh,
                                      axis=axis, halo=halo)
-    return np.asarray(wave)[: t * SAMPLES_PER_FRAME]
+    out = np.array(wave)[: t * SAMPLES_PER_FRAME]  # writable copy
+    if t_pad != t:
+        window = 2 * halo  # true-tail window; first `halo` frames warm up
+        tail = np.asarray(vocoder.apply(
+            variables, jnp.asarray(mel[t - window:][None]))[0, :, 0])
+        keep = (window - halo) * SAMPLES_PER_FRAME
+        out[-keep:] = tail[-keep:]
+    return out
