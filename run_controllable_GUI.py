@@ -44,8 +44,12 @@ def main():
         print("gradio not installed; use build_interface() programmatically")
         return
 
+    def run(*args):
+        sr, wav, plot_path = controllable.read(*args, return_plot=True)
+        return (sr, wav), plot_path
+
     iface = gr.Interface(
-        fn=controllable.read,
+        fn=run,
         inputs=[gr.Textbox(lines=2, label="Text"),
                 gr.Dropdown(sorted(LANGUAGE_NAME_TO_CODE), value="English",
                             label="Language"),
@@ -58,7 +62,8 @@ def main():
                 gr.Slider(0.0, 2.0, value=1.0, label="Energy variance scale")] +
                [gr.Slider(-10.0, 10.0, value=0.0, label=f"Embedding slider {i+1}")
                 for i in range(6)],
-        outputs=gr.Audio(type="numpy", label="Speech"),
+        outputs=[gr.Audio(type="numpy", label="Speech"),
+                 gr.Image(type="filepath", label="Alignment and pitch")],
         title="TPU-native IMS Toucan",
         allow_flagging="never")
     iface.launch()

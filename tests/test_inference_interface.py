@@ -106,3 +106,12 @@ def test_cloner_end_to_end(interface):
         assert np.isfinite(wave).all() and len(wave) > 0
     finally:
         cloner_mod.Aligner = orig
+
+
+def test_return_plot_as_filepath(interface):
+    import os
+
+    wave, path = interface(IPA, input_is_phones=True, return_plot_as_filepath=True)
+    assert np.isfinite(wave).all()
+    assert os.path.isfile(path) and os.path.getsize(path) > 0
+    os.unlink(path)

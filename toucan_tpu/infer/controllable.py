@@ -40,8 +40,10 @@ class ControllableInterface:
              emb_slider_1: float = 0.0, emb_slider_2: float = 0.0,
              emb_slider_3: float = 0.0, emb_slider_4: float = 0.0,
              emb_slider_5: float = 0.0, emb_slider_6: float = 0.0,
-             input_is_phones: bool = False):
-        """Returns (sample_rate, wave) at 48 kHz compatibility rate."""
+             input_is_phones: bool = False, return_plot: bool = False):
+        """Returns (sample_rate, wave) at 48 kHz compatibility rate, plus a
+        spectrogram/prosody plot filepath when ``return_plot`` (the GUI shows
+        it, mirroring the reference's ``return_plot_as_filepath``)."""
         language = language.split()[0]
         accent = accent.split()[0]
         if self.current_language != language:
@@ -65,11 +67,15 @@ class ControllableInterface:
             if len(phones) > MAX_PHONES:
                 prompt = _TOO_LONG.get(language, _TOO_LONG["English"])
 
-        wav = self.model(prompt,
+        out = self.model(prompt,
                          input_is_phones=input_is_phones,
                          duration_scaling_factor=duration_scaling_factor,
                          pitch_variance_scale=pitch_variance_scale,
                          energy_variance_scale=energy_variance_scale,
-                         pause_duration_scaling_factor=pause_duration_scaling_factor)
-        wav48 = np.repeat(wav, 2)  # 24 kHz -> 48 kHz compatibility
+                         pause_duration_scaling_factor=pause_duration_scaling_factor,
+                         return_plot_as_filepath=return_plot)
+        if return_plot:
+            wav, plot_path = out
+            return 48000, np.repeat(wav, 2), plot_path
+        wav48 = np.repeat(out, 2)  # 24 kHz -> 48 kHz compatibility
         return 48000, wav48

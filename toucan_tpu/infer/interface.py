@@ -120,11 +120,53 @@ class ToucanTTSInterface:
         wave = self._vocoder_cache[frames](self.vocoder_variables, jnp.asarray(mel_p))
         return np.asarray(wave)[0, :len(mel) * SAMPLES_PER_FRAME, 0]
 
+    def plot_synthesis(self, mel, durations, pitch, labels, path=None):
+        """Spectrogram + prosody overview plot (reference:
+        ``ToucanTTSInterface.py:171-228``): mel image, per-phone duration
+        boundaries with phone labels on the x axis, pitch curve overlay.
+        Returns the saved filepath."""
+        import tempfile
+
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        mel = np.asarray(mel)
+        durations = np.asarray(durations, np.int64)
+        pitch = np.asarray(pitch).reshape(-1)
+        fig, ax = plt.subplots(figsize=(9, 4))
+        ax.imshow(mel.T, origin="lower", aspect="auto", cmap="GnBu",
+                  interpolation="nearest")
+        bounds = np.cumsum(durations)
+        ax.vlines(bounds - 0.5, 0, mel.shape[1] - 1, colors="black",
+                  linewidth=0.4, alpha=0.4)
+        centers = bounds - durations / 2.0
+        n = min(len(centers), len(labels))
+        ax.set_xticks(centers[:n])
+        ax.set_xticklabels(list(labels)[:n], fontsize=7)
+        # per-frame pitch curve (phone-level values expanded by duration),
+        # scaled into the lower 40% of the mel axis like the reference plot
+        pitch_frames = np.repeat(pitch[:len(durations)], durations)
+        if len(pitch_frames) and pitch_frames.max() > 0:
+            scaled = pitch_frames / pitch_frames.max() * (mel.shape[1] * 0.4)
+            ax.plot(np.arange(len(scaled)), scaled, color="crimson",
+                    linewidth=1.2, label="pitch")
+            ax.legend(loc="upper right", fontsize=7)
+        ax.set_xlim(-0.5, mel.shape[0] - 0.5)
+        ax.set_ylabel("mel bin")
+        fig.tight_layout()
+        if path is None:
+            path = tempfile.NamedTemporaryFile(suffix=".png", delete=False).name
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+        return path
+
     def __call__(self, text: str, duration_scaling_factor=1.0,
                  pitch_variance_scale=1.0, energy_variance_scale=1.0,
                  pause_duration_scaling_factor=1.0, durations=None, pitch=None,
                  energy=None, input_is_phones=False,
-                 return_duration_pitch_energy=False):
+                 return_duration_pitch_energy=False,
+                 return_plot_as_filepath=False):
         phones = self.text2phone.string_to_features(text, input_phonemes=input_is_phones)
         n = len(phones)
         n_pad = _round_up(n, PHONE_BUCKET)
@@ -169,6 +211,16 @@ class ToucanTTSInterface:
         if return_duration_pitch_energy:
             return wave, np.asarray(dur)[0, :n], np.asarray(pit)[0, :n, 0], \
                 np.asarray(ene)[0, :n, 0]
+        if return_plot_as_filepath:
+            if input_is_phones:
+                labels = self.text2phone.postprocess_phoneme_string(
+                    text, for_feature_extraction=False, for_plot_labels=True)
+            else:
+                labels = self.text2phone.get_phone_string(
+                    text, for_plot_labels=True)
+            path = self.plot_synthesis(mel, np.asarray(dur)[0, :n],
+                                       np.asarray(pit)[0, :n, 0], labels)
+            return wave, path
         return wave
 
     # ----------------------------------------------------------- file I/O

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from toucan_tpu.nn.alias_free import (
     alias_free_snake,
+    alias_free_snake_dw,
     alias_free_snake_folded,
     alias_free_snake_shifted,
 )
@@ -42,6 +43,7 @@ class AMPBlock(nn.Module):
     fold: int = 1  # >1: run convs time-folded on fold*channels MXU lanes
     mxu_act: bool = False  # phase-conv activation even at fold == 1
     shifted_resample: bool = False  # fold==1 FIRs: shifted adds vs grouped conv
+    dw_act: bool = False  # fold==1 FIRs as depthwise phase convs (no 2x signal)
     pallas_act: bool = False  # fused VPU kernel for the alias-free snake
     pallas_interpret: bool = False
 
@@ -62,6 +64,8 @@ class AMPBlock(nn.Module):
                 return alias_free_snake_folded(
                     xs, alpha, beta, self.fold, pallas=self.pallas_act,
                     pallas_interpret=self.pallas_interpret)
+            if self.dw_act:
+                return alias_free_snake_dw(xs, alpha, beta, logscale=True)
             fn = (alias_free_snake_shifted if self.shifted_resample
                   else alias_free_snake)
             return fn(xs, alpha, beta, logscale=True)
@@ -101,6 +105,7 @@ class BigVGAN(nn.Module):
     use_folding: bool = True
     mxu_act: bool = False  # phase-conv activations on the >=128-channel stages too
     shifted_resample: bool = False
+    dw_act: bool = False  # f=1 stages: depthwise phase-conv acts
     pallas_act: bool = False  # fused VPU alias-free snake (folded stages)
     pallas_interpret: bool = False
 
@@ -131,6 +136,7 @@ class BigVGAN(nn.Module):
                                                self.resblock_dilations)):
                 acc = acc + AMPBlock(ch, rk, dils, dtype=self.dtype, fold=fold,
                                      mxu_act=self.mxu_act,
+                                     dw_act=self.dw_act,
                                      shifted_resample=self.shifted_resample,
                                      pallas_act=self.pallas_act,
                                      pallas_interpret=self.pallas_interpret,
