@@ -147,6 +147,37 @@ def _train_steps_per_s(on_tpu, dtype):
         best = min(best, time.perf_counter() - t0)
     out["acoustic_train_steps_per_s"] = round(chain / best, 2)
     out["acoustic_train_samples_per_s"] = round(chain * b / best, 1)
+
+    # vocoder GAN step (G + D, adversarial phase) at the reference segment
+    # length (12288 samples -> 32 mel frames) and batch size 18
+    from toucan_tpu.train.vocoder_train import (
+        create_vocoder_train_state, make_vocoder_train_step)
+
+    if not on_tpu:  # the full GAN fwd+bwd graph takes many minutes to
+        return out  # compile on CPU; this extra is TPU-only
+    vb = 18
+    state_v, optimizers = create_vocoder_train_state(rng)
+    vstep = make_vocoder_train_step(optimizers, use_adversarial=True)
+    vbatch = dict(
+        gold_wave=jnp.asarray(nprng.randn(vb, 12288, 1).astype(np.float32)),
+        mel=jnp.asarray(nprng.randn(vb, 32, 80).astype(np.float32)),
+    )
+
+    @jax.jit
+    def runv(s, bt):
+        def body(_, carry):
+            return vstep(carry, bt, True)[0]
+        final = jax.lax.fori_loop(0, chain, body, s)
+        return jnp.sum(jax.tree.leaves(final.g_params)[0].astype(jnp.float32))
+
+    jax.device_get(runv(state_v, vbatch))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(runv(state_v, vbatch))
+        best = min(best, time.perf_counter() - t0)
+    out["vocoder_train_steps_per_s"] = round(chain / best, 2)
+    out["vocoder_train_audio_s_per_s"] = round(chain * vb * 12288 / 24000 / best, 1)
     return out
 
 

@@ -44,10 +44,12 @@ def import_reference_module(name):
                 raise AttributeError(name)
             raise ImportError(f"stub module {self.__name__} has no {name}")
 
+    # NB: matplotlib is genuinely installed in this image — do NOT stub it
+    # (the inference plot path uses it for real; stubbing here leaked an
+    # ImportError-raising module into unrelated tests).
     for stub in ["phonemizer", "phonemizer.backend", "dragonmapper",
                  "dragonmapper.transcriptions", "pypinyin", "librosa",
-                 "librosa.display", "matplotlib", "matplotlib.pyplot",
-                 "matplotlib.lines", "pyloudnorm", "soundfile", "torchaudio",
+                 "librosa.display", "pyloudnorm", "soundfile", "torchaudio",
                  "torchaudio.transforms", "torch_complex", "torch_complex.tensor",
                  "parselmouth"]:
         if stub not in sys.modules:
@@ -55,8 +57,6 @@ def import_reference_module(name):
     sys.modules["phonemizer.backend"].EspeakBackend = lambda **kw: None
     sys.modules["dragonmapper.transcriptions"].pinyin_to_ipa = lambda x: x
     sys.modules["pypinyin"].pinyin = lambda x: [[x]]
-    sys.modules["matplotlib"].pyplot = sys.modules["matplotlib.pyplot"]
-    sys.modules["matplotlib.lines"].Line2D = object
     sys.modules["librosa"].display = sys.modules["librosa.display"]
 
     class _StubComplexTensor:  # only isinstance-checked in Layers/STFT

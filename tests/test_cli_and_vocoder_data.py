@@ -138,3 +138,47 @@ def test_run_scripts_importable():
             fname[:-3], os.path.join(root, fname))
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)  # must not raise
+
+
+def test_tt_it_pipeline_end_to_end(tmp_path, monkeypatch):
+    """The `tt_it` integration recipe end-to-end through the recipe layer:
+    corpus recipe (LJSpeech-style metadata.csv) -> aligner cache + fine-tune
+    -> MAS durations/pitch/energy -> train loop -> checkpoint on disk.
+    Uses IPA transcripts + use_g2p=False (no espeak in the image) and a tiny
+    model config for CPU runtime."""
+    import wave as wave_mod
+
+    import numpy as np
+
+    corpus = tmp_path / "corpora" / "NancyKrebs"
+    (corpus / "wav").mkdir(parents=True)
+    ipa = ["~ðɪs ɪz ə tˈɛst~#", "~hɛlˈoʊ wˈɜːld~#", "~ə ʃˈɔːt sˈɛntəns~#"]
+    lines = []
+    sr = 16000
+    for i, text in enumerate(ipa):
+        t = np.arange(int(sr * (1.3 + 0.2 * i))) / sr
+        sig = 0.5 * np.sin(2 * np.pi * (150 + 30 * i) * t)
+        pcm = (sig * 32767).astype(np.int16)
+        with wave_mod.open(str(corpus / "wav" / f"utt{i}.wav"), "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(sr)
+            f.writeframes(pcm.tobytes())
+        lines.append(f"utt{i}|{text}")
+    (corpus / "metadata.csv").write_text("\n".join(lines), encoding="utf8")
+
+    monkeypatch.setenv("TOUCAN_CORPORA_ROOT", str(tmp_path / "corpora"))
+    monkeypatch.chdir(tmp_path)
+
+    from tests.test_train_dist import TINY
+    from toucan_tpu.recipes.pipelines import integration_test_pipeline
+
+    state, history = integration_test_pipeline(
+        steps=2, batch_size=2, warmup_steps=1, postnet_start_steps=0,
+        use_discriminator=False, use_g2p=False, config=TINY,
+        model_dir=str(tmp_path / "model"))
+    assert len(history) > 0
+    assert np.isfinite(history[-1]["total_loss"])
+    import os
+    assert any(f.startswith("checkpoint") or f.endswith(".msgpack")
+               for f in os.listdir(tmp_path / "model"))

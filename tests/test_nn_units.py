@@ -116,3 +116,35 @@ def test_normed_conv_matches_torch_weight_and_spectral_norm():
     got = model.apply({"params": {"kernel": jnp.asarray(kern),
                                   "bias": jnp.asarray(bias)}}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got), expect, rtol=2e-3, atol=2e-4)
+
+
+def test_conditional_layer_norm_padded_rows_finite():
+    """Batched inference regression: rows whose whole conv receptive field is
+    padding have var == 0 under zero-init biases; the CLN must not emit NaNs
+    there (they would spread into valid rows through later conv taps)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from toucan_tpu.models.toucan_tts import ToucanTTS, ToucanTTSConfig
+
+    cfg = ToucanTTSConfig()  # full-size: 7 pitch conv layers, k=5
+    model = ToucanTTS(cfg)
+    rng = jax.random.PRNGKey(0)
+    b, tmax, frames = 2, 32, 64
+    text = (jax.random.uniform(rng, (b, tmax, 62)) > 0.5).astype(jnp.float32)
+    tl = jnp.asarray([tmax, tmax - 12], jnp.int32)  # 12 fully-padded rows
+    utt = jax.random.normal(rng, (b, 64))
+    lang = jnp.zeros((b, 1), jnp.int32)
+    noise = jax.random.normal(rng, (b, frames, 80)) * 0.8
+    variables = model.init(rng, text, tl, frames, utterance_embedding=utt,
+                           lang_ids=lang, glow_noise=noise, method=ToucanTTS.infer)
+    outs = model.apply(variables, text, tl, frames, utterance_embedding=utt,
+                       lang_ids=lang, glow_noise=noise, method=ToucanTTS.infer)
+    before, after, durations, pitch, energy, lens = outs
+    for i in range(b):
+        n = int(tl[i])
+        assert np.isfinite(np.asarray(pitch)[i, :n]).all()
+        assert np.isfinite(np.asarray(durations)[i, :n]).all()
+        m = int(lens[i])
+        assert np.isfinite(np.asarray(after)[i, :m]).all()

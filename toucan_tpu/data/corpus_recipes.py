@@ -16,8 +16,11 @@ import os
 import random
 from functools import partial
 
-DEFAULT_ROOT = os.environ.get("TOUCAN_CORPORA_ROOT",
-                              "/mount/resources/speech/corpora")
+def default_root() -> str:
+    """Resolved lazily so ``--corpora_root`` (which sets the env var after
+    imports) and test monkeypatching both take effect."""
+    return os.environ.get("TOUCAN_CORPORA_ROOT",
+                          "/mount/resources/speech/corpora")
 
 
 def limit_to_n(d: dict, n: int = 40000) -> dict:
@@ -397,7 +400,7 @@ def recipe_language(name: str) -> str:
 def build_path_to_transcript_dict(name: str, corpora_root: str = None,
                                   limit: int = 40000) -> dict:
     template, rel, _ = _RECIPES[name]
-    root = os.path.join(corpora_root or DEFAULT_ROOT, rel)
+    root = os.path.join(corpora_root or default_root(), rel)
     return limit_to_n(template(root), n=limit)
 
 

@@ -118,7 +118,10 @@ def flash_rel_attention(q_u, q_v, k, v, p, lengths, block: int = 256,
     Returns (B, H, T, d) f32.
     """
     b, h, t, d = q_u.shape
-    block = min(block, max(8, 1 << (t - 1).bit_length()))
+    # Mosaic rejects tiny tiles ("unsupported unaligned shape"); 128 is the
+    # smallest known-good query block on this target, so short sequences pad
+    # up to one 128-block instead of shrinking the tile.
+    block = min(block, max(128, 1 << (t - 1).bit_length()))
     t_pad = (t + block - 1) // block * block
     pad_t = t_pad - t
 

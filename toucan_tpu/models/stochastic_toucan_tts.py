@@ -36,7 +36,7 @@ class StochasticToucanTTS(nn.Module):
             positional_dropout_rate=c.dropout, attention_dropout_rate=c.dropout,
             use_input_embedding=True, use_output_norm=True,
             utt_embed_dim=c.utt_embed_dim, lang_embs=c.lang_embs,
-            use_flash_attention=getattr(c, "use_flash_attention", False),
+            use_flash_attention=getattr(c, "use_flash_attention", None),
             dtype=c.dtype, name="encoder")
         self.duration_flow = StochasticVariancePredictor(
             c.adim, 5, 0.5, n_flows=6, cond_channels=c.utt_embed_dim,
@@ -54,7 +54,7 @@ class StochasticToucanTTS(nn.Module):
             num_blocks=c.dec_layers, cnn_kernel=c.dec_kernel, dropout_rate=c.dropout,
             positional_dropout_rate=c.dropout, attention_dropout_rate=c.dropout,
             use_input_embedding=False, use_output_norm=False, dtype=c.dtype,
-            use_flash_attention=getattr(c, "use_flash_attention", False),
+            use_flash_attention=getattr(c, "use_flash_attention", None),
             name="decoder")
         self.feat_out = nn.Dense(c.mel_channels, dtype=c.dtype, name="feat_out")
         self.conv_postnet = PostNet(odim=c.mel_channels, dtype=c.dtype,

@@ -63,7 +63,7 @@ class ToucanTTSConfig:
     glow_sqz: int = 2
     use_postflow: bool = True            # False -> FastSpeech2-style (no glow)
     conditional_predictors: bool = True  # False -> plain LayerNorm predictors
-    use_flash_attention: bool = False    # pallas O(T*d) attention (inference)
+    use_flash_attention: bool = None     # pallas O(T*d) attention; None=auto (TPU on)
     dtype: jnp.dtype = jnp.float32
 
 
@@ -88,7 +88,7 @@ class ToucanTTS(nn.Module):
             positional_dropout_rate=c.dropout, attention_dropout_rate=c.dropout,
             use_input_embedding=True, use_output_norm=True,
             utt_embed_dim=c.utt_embed_dim, lang_embs=c.lang_embs,
-            use_flash_attention=getattr(c, "use_flash_attention", False),
+            use_flash_attention=getattr(c, "use_flash_attention", None),
             dtype=c.dtype, name="encoder")
         pred_utt_dim = c.utt_embed_dim if c.conditional_predictors else None
         self.duration_predictor = DurationPredictor(
@@ -107,7 +107,7 @@ class ToucanTTS(nn.Module):
             num_blocks=c.dec_layers, cnn_kernel=c.dec_kernel, dropout_rate=c.dropout,
             positional_dropout_rate=c.dropout, attention_dropout_rate=c.dropout,
             use_input_embedding=False, use_output_norm=False,
-            utt_embed_dim=None, lang_embs=None, dtype=c.dtype, use_flash_attention=getattr(c, "use_flash_attention", False),
+            utt_embed_dim=None, lang_embs=None, dtype=c.dtype, use_flash_attention=getattr(c, "use_flash_attention", None),
             name="decoder")
         self.feat_out = nn.Dense(c.mel_channels, dtype=c.dtype, name="feat_out")
         self.conv_postnet = PostNet(odim=c.mel_channels, dtype=c.dtype, name="conv_postnet")

@@ -69,8 +69,10 @@ class RelPositionMultiHeadedAttention(nn.Module):
     dropout_rate: float = 0.0
     # O(T*d)-memory pallas flash-attention path (kernels/pallas_attention.py)
     # for long sequences; requires deterministic mode (no attention dropout)
-    # and a key-padding (prefix) mask
-    use_flash: bool = False
+    # and a key-padding (prefix) mask.  None = auto: on for accelerators
+    # (2.2x at the serving shapes, BENCH_NOTES.md), off on CPU (interpret
+    # mode is slow) — training takes the XLA path anyway via dropout.
+    use_flash: bool = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -90,7 +92,13 @@ class RelPositionMultiHeadedAttention(nn.Module):
         q_u = q + pos_bias_u[None, :, None, :]
         q_v = q + pos_bias_v[None, :, None, :]
 
-        if self.use_flash and deterministic:
+        use_flash = self.use_flash
+        if use_flash is None:
+            # auto: accelerators only, and only where the flash kernel beats
+            # the XLA rel-shift path (measured crossover ~T=128)
+            use_flash = (jax.devices()[0].platform != "cpu"
+                         and query.shape[1] >= 128)
+        if use_flash and deterministic:
             from toucan_tpu.kernels.pallas_attention import flash_rel_attention
             t = query.shape[1]
             if mask is None:

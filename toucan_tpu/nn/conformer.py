@@ -33,7 +33,7 @@ class ConformerBlock(nn.Module):
     macaron: bool = True
     use_cnn: bool = True
     normalize_before: bool = True
-    use_flash_attention: bool = False
+    use_flash_attention: bool = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -98,8 +98,8 @@ class Conformer(nn.Module):
     dropout_rate: float = 0.2
     positional_dropout_rate: float = 0.2
     attention_dropout_rate: float = 0.2
-    # O(T*d) pallas flash-attention path for long sequences (inference)
-    use_flash_attention: bool = False
+    # O(T*d) pallas flash-attention path (None = auto: accelerators only)
+    use_flash_attention: bool = None
     use_input_embedding: bool = False
     input_embedding_hidden: int = 100
     use_output_norm: bool = True

@@ -46,5 +46,9 @@ class ConditionalLayerNorm(nn.Module):
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
         # NOTE: division by var (not sqrt(var)) matches the reference exactly.
-        normed = (x - mean) / var
+        # Guard the degenerate var == 0 row (an all-constant position — only
+        # reachable on fully-padded rows of a batched input with zero-init
+        # biases): there (x - mean) == 0 too, so normed = 0 is the exact
+        # limit and stops NaNs from leaking into valid rows via conv taps.
+        normed = (x - mean) / jnp.where(var == 0.0, 1.0, var)
         return scale[..., None, :] * normed + bias[..., None, :]

@@ -85,7 +85,7 @@ def _tts_pipeline(recipe_names, save_name, steps=80_000, batch_size=24,
                   use_discriminator=True, stochastic=False,
                   resume_checkpoint=None, resume=False, finetune=False,
                   model_dir=None, use_wandb=False, n_data=None, n_model=1,
-                  seed=131714, **_):
+                  seed=131714, use_g2p=True, config=None, **_):
     from toucan_tpu.train.loop import train_loop
 
     save_dir = model_dir or os.path.join(MODELS_DIR, save_name)
@@ -95,10 +95,11 @@ def _tts_pipeline(recipe_names, save_name, steps=80_000, batch_size=24,
         mapping = corpus_recipes.build_path_to_transcript_dict(name)
         datasets.append(prepare_fastspeech_corpus(
             mapping, os.path.join("Corpora", name), lang,
-            aligner_train_fn=_aligner_train_fn))
+            aligner_train_fn=_aligner_train_fn, use_g2p=use_g2p))
     gst_variables = _load_gst_variables()
     return train_loop(datasets if len(datasets) > 1 else datasets[0],
-                      gst_variables, save_dir, batch_size=batch_size, lr=lr,
+                      gst_variables, save_dir, config=config,
+                      batch_size=batch_size, lr=lr,
                       warmup_steps=warmup_steps, steps=steps,
                       postnet_start_steps=postnet_start_steps,
                       use_discriminator=use_discriminator, resume=resume,
