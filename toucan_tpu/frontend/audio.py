@@ -16,6 +16,7 @@ padding, periodic hann window.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from functools import lru_cache, partial
 
@@ -217,9 +218,17 @@ def _sinc_resample_kernel(orig_sr: int, new_sr: int, lowpass_width: int = 6,
 
 
 def resample(audio: np.ndarray, orig_sr: int, new_sr: int) -> np.ndarray:
-    """Polyphase sinc resampling of a mono signal (host-side numpy)."""
+    """Polyphase sinc resampling of a mono signal.
+
+    Prefers the native C++ path (``toucan_tpu.native.resample``, threaded,
+    float32-identical — tests/test_native_resample.py) when a toolchain is
+    available; set ``TOUCAN_NATIVE_RESAMPLE=0`` to force numpy."""
     if orig_sr == new_sr:
         return audio
+    if os.environ.get("TOUCAN_NATIVE_RESAMPLE", "1") != "0":
+        from toucan_tpu import native
+        if native.native_resample_available():
+            return native.resample(audio, orig_sr, new_sr)
     kernel, orig, new, width = _sinc_resample_kernel(orig_sr, new_sr)
     length = len(audio)
     audio_p = np.pad(audio.astype(np.float32), (width, width + orig))
