@@ -181,6 +181,36 @@ def _train_steps_per_s(on_tpu, dtype):
     return out
 
 
+def _waveform_parity_max_abs_err():
+    """BASELINE correctness metric, measured live: a random-init reference
+    HiFiGAN (PyTorch, CPU, f32) vs our generator with converted weights on
+    the benchmark device (f32).  Needs /root/reference + torch."""
+    import numpy as np
+    import torch
+
+    from toucan_tpu.compat.reference_import import (import_reference_module,
+                                                    reference_available)
+    from toucan_tpu.compat.torch_vocoder import convert_hifigan
+    from toucan_tpu.models.vocoders import HiFiGANGenerator
+
+    if not reference_available():
+        return None
+    torch.manual_seed(0)
+    ref_mod = import_reference_module(
+        "TrainingInterfaces.Spectrogram_to_Wave.HiFiGAN.HiFiGAN")
+    ref = ref_mod.HiFiGANGenerator()
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    mel = np.random.RandomState(0).randn(2, 48, 80).astype(np.float32)
+    with torch.no_grad():
+        r_wave = ref(torch.tensor(mel.transpose(0, 2, 1)))[0].numpy()[:, 0, :]
+    model = HiFiGANGenerator()
+    variables = jax.tree.map(jnp.asarray, convert_hifigan(sd))
+    wave = jax.jit(lambda v, m: model.apply(v, m, return_intermediates=True)[0]
+                   )(variables, jnp.asarray(mel))
+    return float(np.abs(np.asarray(wave)[..., 0] - r_wave).max())
+
+
 def main():
     from toucan_tpu.models.vocoders import HiFiGANGenerator
 
@@ -233,6 +263,12 @@ def main():
                 _stft_audio_s_per_s(on_tpu), 1)
         except Exception as exc:
             result["extra"]["stft_error"] = str(exc)[:200]
+        try:
+            err = _waveform_parity_max_abs_err()
+            if err is not None:
+                result["extra"]["waveform_max_abs_err_vs_torch"] = err
+        except Exception as exc:
+            result["extra"]["parity_error"] = str(exc)[:200]
         if os.environ.get("TOUCAN_BENCH_TRAIN", "0") == "1":
             try:
                 result["extra"].update(_train_steps_per_s(on_tpu, dtype))

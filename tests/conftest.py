@@ -22,48 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REFERENCE_ROOT = "/root/reference"
 
 
-def reference_available() -> bool:
-    return os.path.isdir(REFERENCE_ROOT)
-
-
-def import_reference_module(name):
-    """Import a module from the PyTorch reference with its optional G2P deps stubbed.
-
-    Only used to verify numerical parity in tests; never at runtime.
-    """
-    import types
-    import importlib
-
-    class _Stub(types.ModuleType):
-        """Import succeeds (module-level reference imports work) but any
-        attribute access raises ImportError, so runtime code that guards
-        ``import x`` with try/except keeps behaving as if x were missing."""
-
-        def __getattr__(self, name):
-            if name.startswith("__"):
-                raise AttributeError(name)
-            raise ImportError(f"stub module {self.__name__} has no {name}")
-
-    # NB: matplotlib is genuinely installed in this image — do NOT stub it
-    # (the inference plot path uses it for real; stubbing here leaked an
-    # ImportError-raising module into unrelated tests).
-    for stub in ["phonemizer", "phonemizer.backend", "dragonmapper",
-                 "dragonmapper.transcriptions", "pypinyin", "librosa",
-                 "librosa.display", "pyloudnorm", "soundfile", "torchaudio",
-                 "torchaudio.transforms", "torch_complex", "torch_complex.tensor",
-                 "parselmouth"]:
-        if stub not in sys.modules:
-            sys.modules[stub] = _Stub(stub)
-    sys.modules["phonemizer.backend"].EspeakBackend = lambda **kw: None
-    sys.modules["dragonmapper.transcriptions"].pinyin_to_ipa = lambda x: x
-    sys.modules["pypinyin"].pinyin = lambda x: [[x]]
-    sys.modules["librosa"].display = sys.modules["librosa.display"]
-
-    class _StubComplexTensor:  # only isinstance-checked in Layers/STFT
-        pass
-
-    sys.modules["torch_complex.tensor"].ComplexTensor = _StubComplexTensor
-
-    if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
-    return importlib.import_module(name)
+from toucan_tpu.compat.reference_import import (  # noqa: E402,F401
+    REFERENCE_ROOT as _REF_ROOT,
+    import_reference_module,
+    reference_available,
+)

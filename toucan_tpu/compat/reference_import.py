@@ -1,0 +1,60 @@
+"""Import modules from the mounted PyTorch reference for parity checks.
+
+Used by the test suite (tests/conftest.py) and by bench.py's on-chip
+waveform-parity extra.  The reference's optional G2P/audio dependencies are
+stubbed so its module-level imports succeed; the stubs raise ImportError on
+attribute access, which keeps the reference's own try/except guards on the
+"dependency missing" path.  Never used by the framework at runtime.
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import sys
+import types
+
+REFERENCE_ROOT = os.environ.get("TOUCAN_REFERENCE_ROOT", "/root/reference")
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_ROOT)
+
+
+def import_reference_module(name: str):
+    """Import a module from the PyTorch reference with its optional deps
+    stubbed (parity verification only)."""
+
+    class _Stub(types.ModuleType):
+        """Import succeeds (module-level reference imports work) but any
+        attribute access raises ImportError, so runtime code that guards
+        ``import x`` with try/except keeps behaving as if x were missing."""
+
+        def __getattr__(self, attr):
+            if attr.startswith("__"):
+                raise AttributeError(attr)
+            raise ImportError(f"stub module {self.__name__} has no {attr}")
+
+    # NB: matplotlib is genuinely installed in this image — do NOT stub it
+    # (the inference plot path uses it for real; stubbing here leaked an
+    # ImportError-raising module into unrelated tests).
+    for stub in ["phonemizer", "phonemizer.backend", "dragonmapper",
+                 "dragonmapper.transcriptions", "pypinyin", "librosa",
+                 "librosa.display", "pyloudnorm", "soundfile", "torchaudio",
+                 "torchaudio.transforms", "torch_complex", "torch_complex.tensor",
+                 "parselmouth"]:
+        if stub not in sys.modules:
+            sys.modules[stub] = _Stub(stub)
+    sys.modules["phonemizer.backend"].EspeakBackend = lambda **kw: None
+    sys.modules["dragonmapper.transcriptions"].pinyin_to_ipa = lambda x: x
+    sys.modules["pypinyin"].pinyin = lambda x: [[x]]
+    sys.modules["librosa"].display = sys.modules["librosa.display"]
+
+    class _StubComplexTensor:  # only isinstance-checked in Layers/STFT
+        pass
+
+    sys.modules["torch_complex.tensor"].ComplexTensor = _StubComplexTensor
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    return importlib.import_module(name)
