@@ -211,6 +211,85 @@ def _waveform_parity_max_abs_err():
     return float(np.abs(np.asarray(wave)[..., 0] - r_wave).max())
 
 
+def _mel_parity_max_abs_err():
+    """Mel max-abs-err vs the reference's production inference architecture
+    (InferenceToucanTTS) with converted weights, run on the benchmark device
+    with gold prosody (the cloning path — deterministic alignment) and
+    injected glow noise."""
+    import numpy as np
+    import torch
+
+    from toucan_tpu.compat.reference_import import (import_reference_module,
+                                                    reference_available)
+    from toucan_tpu.compat.torch_toucan import convert_toucan_tts
+    from toucan_tpu.models.toucan_tts import ToucanTTS, ToucanTTSConfig
+
+    if not reference_available():
+        return None
+    small = dict(enc_layers=2, dec_layers=2, pitch_layers=2)
+    torch.manual_seed(0)
+    train_mod = import_reference_module(
+        "TrainingInterfaces.Text_to_Spectrogram.ToucanTTS.ToucanTTS")
+    train_ref = train_mod.ToucanTTS(encoder_layers=small["enc_layers"],
+                                    decoder_layers=small["dec_layers"],
+                                    pitch_predictor_layers=small["pitch_layers"])
+    inf_mod = import_reference_module(
+        "InferenceInterfaces.InferenceArchitectures.InferenceToucanTTS")
+    ref = inf_mod.ToucanTTS(encoder_layers=small["enc_layers"],
+                            decoder_layers=small["dec_layers"],
+                            pitch_predictor_layers=small["pitch_layers"],
+                            weights=train_ref.state_dict())
+    sd = {k: v.detach().numpy() for k, v in train_ref.state_dict().items()}
+
+    cfg = ToucanTTSConfig(**small)
+    model = ToucanTTS(cfg)
+    variables = jax.tree.map(jnp.asarray, convert_toucan_tts(
+        sd, enc_layers=cfg.enc_layers, dec_layers=cfg.dec_layers,
+        pitch_layers=cfg.pitch_layers, energy_layers=cfg.energy_layers,
+        glow_blocks=cfg.glow_blocks, glow_layers=cfg.glow_layers))
+
+    rng = np.random.RandomState(5)
+    t = 12
+    text = (rng.rand(1, t, 62) > 0.5).astype(np.float32)
+    utt = rng.randn(1, 64).astype(np.float32)
+    lang = np.array([[4]])
+    durations = rng.randint(2, 6, size=(1, t)).astype(np.int64)
+    pitch = rng.randn(1, t, 1).astype(np.float32)
+    energy = rng.randn(1, t, 1).astype(np.float32)
+
+    with torch.no_grad():
+        outs = ref._forward(torch.tensor(text), torch.tensor([t]),
+                            utterance_embedding=torch.tensor(utt),
+                            lang_ids=torch.tensor(lang),
+                            gold_durations=torch.tensor(durations),
+                            gold_pitch=torch.tensor(pitch),
+                            gold_energy=torch.tensor(energy))
+        r_before, r_dur = outs[0], outs[2]
+    mel_len = int(r_dur.sum())
+    max_frames = mel_len + 8 - (mel_len % 2)
+
+    # before-postflow mel: the well-conditioned parity target.  (The glow
+    # *reverse* with random weights compounds exp() couplings to scale
+    # ~2000 and is chaotic under reordered-rounding — its parity is proven
+    # on CPU in tests/test_toucan_parity.py with atol 3e-3.)
+    def run():
+        outs = jax.jit(
+            lambda v, tx: model.apply(
+                v, tx, jnp.asarray([t]), max_frames,
+                utterance_embedding=jnp.asarray(utt), lang_ids=jnp.asarray(lang),
+                gold_durations=jnp.asarray(durations), gold_pitch=jnp.asarray(pitch),
+                gold_energy=jnp.asarray(energy),
+                run_glow=False, method=ToucanTTS.infer))(variables, jnp.asarray(text))
+        return float(np.abs(np.asarray(outs[0])[0, :mel_len]
+                            - r_before.numpy()[:mel_len]).max())
+
+    default_err = run()
+    with jax.default_matmul_precision("float32"):
+        f32_err = run()
+    return {"mel_max_abs_err_vs_torch": default_err,
+            "mel_max_abs_err_vs_torch_f32prec": f32_err}
+
+
 def main():
     from toucan_tpu.models.vocoders import HiFiGANGenerator
 
@@ -267,6 +346,9 @@ def main():
             err = _waveform_parity_max_abs_err()
             if err is not None:
                 result["extra"]["waveform_max_abs_err_vs_torch"] = err
+            errs = _mel_parity_max_abs_err()
+            if errs is not None:
+                result["extra"].update(errs)
         except Exception as exc:
             result["extra"]["parity_error"] = str(exc)[:200]
         if os.environ.get("TOUCAN_BENCH_TRAIN", "0") == "1":
