@@ -115,3 +115,34 @@ def test_return_plot_as_filepath(interface):
     assert np.isfinite(wave).all()
     assert os.path.isfile(path) and os.path.getsize(path) > 0
     os.unlink(path)
+
+
+def test_synthesize_batch_multispeaker(interface):
+    """BASELINE config 2: batched multi-speaker/multilingual synthesis in a
+    single device invocation; per-sample results line up with the
+    single-utterance path (deterministic parts)."""
+    texts = [IPA, "~hɛlˈoʊ wˈɜːld~#", "~ə tˈɛst~#"]
+    rng = np.random.RandomState(0)
+    embs = rng.randn(3, 64).astype(np.float32)
+    waves = interface.synthesize_batch(texts, input_is_phones=True,
+                                       utterance_embeddings=embs)
+    assert len(waves) == 3
+    for w in waves:
+        assert w.ndim == 1 and len(w) > 0 and len(w) % 384 == 0
+        assert np.isfinite(w).all()
+
+    # deterministic parts must match the single-utterance path per sample
+    for text, emb, wave in zip(texts, embs, waves):
+        interface.set_utterance_embedding(embedding=emb)
+        _, dur, _, _ = interface(text, input_is_phones=True,
+                                 return_duration_pitch_energy=True)
+        expect_len = (int(dur.sum()) // 2) * 2 * 384  # glow even-truncation
+        assert len(wave) == expect_len, (len(wave), expect_len)
+    interface.set_utterance_embedding(embedding=np.zeros(64, np.float32))
+
+
+def test_synthesize_batch_multilingual(interface):
+    texts = ["~hɛlˈoʊ~#", "~hˈaloː~#"]
+    waves = interface.synthesize_batch(texts, input_is_phones=True,
+                                       languages=["en", "de"])
+    assert len(waves) == 2 and all(np.isfinite(w).all() for w in waves)

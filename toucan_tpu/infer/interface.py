@@ -120,6 +120,78 @@ class ToucanTTSInterface:
         wave = self._vocoder_cache[frames](self.vocoder_variables, jnp.asarray(mel_p))
         return np.asarray(wave)[0, :len(mel) * SAMPLES_PER_FRAME, 0]
 
+    def synthesize_batch(self, texts, input_is_phones=False, languages=None,
+                         utterance_embeddings=None, duration_scaling_factor=1.0,
+                         pitch_variance_scale=1.0, energy_variance_scale=1.0,
+                         pause_duration_scaling_factor=1.0):
+        """Batched multi-speaker / multi-lingual synthesis (BASELINE
+        config 2): one device invocation for the acoustic model and one for
+        the vocoder over the whole batch.
+
+        texts: list of strings.  languages: optional list of language codes
+        (per-text phonemizer + accent id; default = the interface language).
+        utterance_embeddings: optional (B, utt_dim) array or list of per-text
+        speaker embeddings (default = the interface's current embedding).
+        Returns a list of 24 kHz waves.  Padded batching is boundary-exact:
+        conv masking makes each row equal its exact-length single run (see
+        PARITY.md, tests/test_inference_interface.py).
+        """
+        b = len(texts)
+        if languages is None:
+            frontends = [self.text2phone] * b
+            lang_ids_list = [self.lang_id] * b
+        else:
+            cache = getattr(self, "_frontend_cache", {})
+            self._frontend_cache = cache
+            frontends, lang_ids_list = [], []
+            for lang in languages:
+                if lang not in cache:
+                    cache[lang] = TextFrontend(language=lang, use_g2p=self.use_g2p)
+                frontends.append(cache[lang])
+                lang_ids_list.append(language_id(lang)
+                                     if self.config.lang_embs is not None else None)
+
+        phones = [fe.string_to_features(tx, input_phonemes=input_is_phones)
+                  for fe, tx in zip(frontends, texts)]
+        lengths = np.asarray([len(p) for p in phones], np.int32)
+        n_pad = _round_up(int(lengths.max()), PHONE_BUCKET)
+        text_arr = np.zeros((b, n_pad, phones[0].shape[1]), np.float32)
+        for i, p in enumerate(phones):
+            text_arr[i, :len(p)] = p
+        max_frames = n_pad * FRAMES_PER_PHONE
+
+        if utterance_embeddings is None:
+            utt = np.tile(self.default_utterance_embedding[None], (b, 1))
+        else:
+            utt = np.asarray(utterance_embeddings, np.float32).reshape(b, -1)
+        lang = (jnp.asarray([[l] for l in lang_ids_list], jnp.int32)
+                if lang_ids_list[0] is not None else None)
+
+        self.rng, noise_rng = jax.random.split(self.rng)
+        noise = jax.random.normal(
+            noise_rng, (b, max_frames, self.config.mel_channels)) * 0.8
+        knobs = jnp.asarray([duration_scaling_factor, pitch_variance_scale,
+                             energy_variance_scale, pause_duration_scaling_factor],
+                            jnp.float32)
+        fn = self._infer_fn(n_pad, max_frames, False)
+        _, after, _, _, _, lens = fn(
+            self.tts_variables, jnp.asarray(text_arr), jnp.asarray(lengths),
+            jnp.asarray(utt), lang, noise, knobs)
+
+        frames = _round_up(max_frames, 64)
+        if frames not in self._vocoder_cache:
+            self._vocoder_cache[frames] = jax.jit(
+                lambda v, m: self.vocoder.apply(v, m))
+        mel_p = np.zeros((b, frames, self.config.mel_channels), np.float32)
+        mel_np = np.asarray(after)
+        lens = np.asarray(lens)
+        for i in range(b):
+            mel_p[i, :lens[i]] = mel_np[i, :lens[i]]
+        waves = self._vocoder_cache[frames](self.vocoder_variables,
+                                            jnp.asarray(mel_p))
+        waves = np.asarray(waves)[..., 0]
+        return [waves[i, :int(lens[i]) * SAMPLES_PER_FRAME] for i in range(b)]
+
     def plot_synthesis(self, mel, durations, pitch, labels, path=None):
         """Spectrogram + prosody overview plot (reference:
         ``ToucanTTSInterface.py:171-228``): mel image, per-phone duration
