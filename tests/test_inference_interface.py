@@ -35,9 +35,7 @@ def interface():
     voc_vars = voc.init(rng, jnp.zeros((1, 16, 80)))
     gst_vars = StyleEmbedding().init(rng, jnp.zeros((1, 20, 80)), jnp.array([20]))
     iface = ToucanTTSInterface(tts_vars, voc_vars, gst_vars, config=TINY,
-                               language="en", use_g2p=False)
-    iface.vocoder = voc
-    iface._vocoder_cache.clear()
+                               vocoder=voc, language="en", use_g2p=False)
     return iface
 
 
@@ -146,3 +144,48 @@ def test_synthesize_batch_multilingual(interface):
     waves = interface.synthesize_batch(texts, input_is_phones=True,
                                        languages=["en", "de"])
     assert len(waves) == 2 and all(np.isfinite(w).all() for w in waves)
+
+
+def test_interface_accepts_vocoder_instance_and_dtype():
+    """The constructor takes a vocoder module directly and a serving dtype
+    override (the TPU configuration is bf16)."""
+    import jax
+    import jax.numpy as jnp
+    from toucan_tpu.models.vocoders import HiFiGANGenerator
+
+    rng = jax.random.PRNGKey(0)
+    from toucan_tpu.models.toucan_tts import ToucanTTS
+    model = ToucanTTS(TINY)
+    tts_vars = model.init(rng, jnp.zeros((1, 8, 62)), jnp.array([8]), 32,
+                          utterance_embedding=jnp.zeros((1, 64)),
+                          lang_ids=jnp.zeros((1, 1), jnp.int32),
+                          method=ToucanTTS.infer)
+    voc = HiFiGANGenerator(channels=64)
+    voc_vars = voc.init(rng, jnp.zeros((1, 16, 80)))
+    gst_vars = StyleEmbedding().init(rng, jnp.zeros((1, 20, 80)), jnp.array([20]))
+
+    iface = ToucanTTSInterface(tts_vars, voc_vars, gst_vars, config=TINY,
+                               vocoder=voc, language="en", use_g2p=False)
+    assert iface.vocoder is voc
+    wave = iface("~tˈɛst~#", input_is_phones=True)
+    assert np.isfinite(wave).all() and len(wave) > 0
+
+    import dataclasses
+    bf16_iface = ToucanTTSInterface(
+        tts_vars, voc_vars, gst_vars,
+        config=dataclasses.replace(TINY), vocoder="hifigan", use_g2p=False,
+        dtype=jnp.bfloat16)
+    assert bf16_iface.config.dtype == jnp.bfloat16
+    assert bf16_iface.vocoder.dtype == jnp.bfloat16
+
+
+def test_precompile_warms_caches(interface):
+    interface._infer_cache.clear()
+    interface._vocoder_cache.clear()
+    interface.precompile(phone_buckets=(32,), batch_sizes=(1,))
+    assert (32, 32 * 16, False) in interface._infer_cache
+    assert len(interface._vocoder_cache) == 1
+    # a matching request now runs without tracing a new bucket
+    wave = interface(IPA, input_is_phones=True)
+    assert np.isfinite(wave).all()
+    assert len(interface._infer_cache) == 1

@@ -39,12 +39,26 @@ def _round_up(n, m):
 class ToucanTTSInterface:
     def __init__(self, tts_variables, vocoder_variables, gst_variables,
                  default_embedding=None, config: Optional[ToucanTTSConfig] = None,
-                 vocoder: str = "hifigan", language: str = "en",
-                 use_g2p: bool = True, seed: int = 0):
+                 vocoder="hifigan", language: str = "en",
+                 use_g2p: bool = True, seed: int = 0, dtype=None):
+        """``vocoder``: "hifigan" | "bigvgan" or a vocoder module instance.
+        ``dtype`` (e.g. jnp.bfloat16) overrides the compute dtype of the
+        default-constructed acoustic model and vocoder — the serving
+        configuration on TPU."""
+        import dataclasses
+
         self.config = config or ToucanTTSConfig()
+        if dtype is not None and self.config.dtype != dtype:
+            self.config = dataclasses.replace(self.config, dtype=dtype)
         self.model = ToucanTTS(self.config)
-        self.vocoder_name = vocoder
-        self.vocoder = HiFiGANGenerator() if vocoder == "hifigan" else BigVGAN()
+        if isinstance(vocoder, str):
+            self.vocoder_name = vocoder
+            voc_dtype = dtype or jnp.float32
+            self.vocoder = (HiFiGANGenerator(dtype=voc_dtype)
+                            if vocoder == "hifigan" else BigVGAN(dtype=voc_dtype))
+        else:
+            self.vocoder_name = type(vocoder).__name__.lower()
+            self.vocoder = vocoder
         self.gst = StyleEmbedding()
         self.tts_variables = tts_variables
         self.vocoder_variables = vocoder_variables
@@ -119,6 +133,38 @@ class ToucanTTSInterface:
         mel_p[0, :len(mel)] = mel
         wave = self._vocoder_cache[frames](self.vocoder_variables, jnp.asarray(mel_p))
         return np.asarray(wave)[0, :len(mel) * SAMPLES_PER_FRAME, 0]
+
+    def precompile(self, phone_buckets=(PHONE_BUCKET, 4 * PHONE_BUCKET),
+                   batch_sizes=(1,), with_overrides=False):
+        """Warm the jit caches for the given phone buckets and batch sizes so
+        serving never pays compile latency on a live request."""
+        for b in batch_sizes:
+            for n_pad in phone_buckets:
+                max_frames = n_pad * FRAMES_PER_PHONE
+                text = jnp.zeros((b, n_pad, 62), jnp.float32)
+                lens = jnp.full((b,), n_pad, jnp.int32)
+                utt = jnp.zeros((b, self.config.utt_embed_dim), jnp.float32)
+                lang = (jnp.zeros((b, 1), jnp.int32)
+                        if self.lang_id is not None else None)
+                noise = jnp.zeros((b, max_frames, self.config.mel_channels),
+                                  jnp.float32)
+                knobs = jnp.ones((4,), jnp.float32)
+                fn = self._infer_fn(n_pad, max_frames, with_overrides)
+                kw = {}
+                if with_overrides:
+                    kw = dict(durations=jnp.ones((b, n_pad), jnp.int32),
+                              pitch=jnp.zeros((b, n_pad, 1), jnp.float32),
+                              energy=jnp.zeros((b, n_pad, 1), jnp.float32))
+                outs = fn(self.tts_variables, text, lens, utt, lang, noise,
+                          knobs, **kw)
+                jax.block_until_ready(outs)
+                frames = _round_up(max_frames, 64)
+                if frames not in self._vocoder_cache:
+                    self._vocoder_cache[frames] = jax.jit(
+                        lambda v, m: self.vocoder.apply(v, m))
+                jax.block_until_ready(self._vocoder_cache[frames](
+                    self.vocoder_variables,
+                    jnp.zeros((b, frames, self.config.mel_channels), jnp.float32)))
 
     def synthesize_batch(self, texts, input_is_phones=False, languages=None,
                          utterance_embeddings=None, duration_scaling_factor=1.0,
