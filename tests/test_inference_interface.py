@@ -180,12 +180,20 @@ def test_interface_accepts_vocoder_instance_and_dtype():
 
 
 def test_precompile_warms_caches(interface):
-    interface._infer_cache.clear()
-    interface._vocoder_cache.clear()
+    interface._e2e_cache.clear()
     interface.precompile(phone_buckets=(32,), batch_sizes=(1,))
-    assert (32, 32 * 16, False) in interface._infer_cache
-    assert len(interface._vocoder_cache) == 1
+    assert (32, 32 * 16, False) in interface._e2e_cache
     # a matching request now runs without tracing a new bucket
     wave = interface(IPA, input_is_phones=True)
     assert np.isfinite(wave).all()
-    assert len(interface._infer_cache) == 1
+    assert len(interface._e2e_cache) == 1
+
+
+def test_synthesize_batch_pcm16(interface):
+    waves = interface.synthesize_batch(["~tˈɛst~#"], input_is_phones=True,
+                                       return_pcm16=True)
+    assert waves[0].dtype == np.int16
+    ref = interface.synthesize_batch(["~tˈɛst~#"], input_is_phones=True)
+    # same content up to PCM quantization (glow noise differs per call, so
+    # compare via a fresh seeded interface state instead: lengths only)
+    assert len(waves[0]) == len(ref[0])

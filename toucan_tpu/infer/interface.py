@@ -73,6 +73,7 @@ class ToucanTTSInterface:
         self.default_utterance_embedding = np.asarray(default_embedding, np.float32)
         self._infer_cache = {}
         self._vocoder_cache = {}
+        self._e2e_cache = {}
 
     # ------------------------------------------------------------- setters
 
@@ -134,6 +135,35 @@ class ToucanTTSInterface:
         wave = self._vocoder_cache[frames](self.vocoder_variables, jnp.asarray(mel_p))
         return np.asarray(wave)[0, :len(mel) * SAMPLES_PER_FRAME, 0]
 
+    def _e2e_fn(self, n_phones: int, max_frames: int, with_overrides: bool):
+        """Fused text -> mel -> wave on device: no host round-trip between
+        the acoustic model and the vocoder (the mel transfer + sync dominate
+        serving latency on remote/attached accelerators).  Frames past each
+        sample's mel length are zero-masked before vocoding — identical
+        semantics to the zero-padded `_vocode` path."""
+        key = (n_phones, max_frames, with_overrides)
+        if key not in self._e2e_cache:
+            model, vocoder = self.model, self.vocoder
+
+            def fn(tts_v, voc_v, text, text_len, utt, lang, noise, knobs,
+                   durations=None, pitch=None, energy=None):
+                outs = model.apply(
+                    tts_v, text, text_len, max_frames,
+                    utterance_embedding=utt, lang_ids=lang,
+                    gold_durations=durations, gold_pitch=pitch, gold_energy=energy,
+                    duration_scaling_factor=knobs[0], pitch_variance_scale=knobs[1],
+                    energy_variance_scale=knobs[2],
+                    pause_duration_scaling_factor=knobs[3],
+                    glow_noise=noise, run_glow=True, method=ToucanTTS.infer)
+                _, after, dur, pit, ene, lens = outs
+                mask = (jnp.arange(max_frames)[None, :] < lens[:, None])[..., None]
+                mel = jnp.where(mask, after.astype(jnp.float32), 0.0)
+                wave = vocoder.apply(voc_v, mel)[..., 0]
+                return wave, after, dur, pit, ene, lens
+
+            self._e2e_cache[key] = jax.jit(fn)
+        return self._e2e_cache[key]
+
     def precompile(self, phone_buckets=(PHONE_BUCKET, 4 * PHONE_BUCKET),
                    batch_sizes=(1,), with_overrides=False):
         """Warm the jit caches for the given phone buckets and batch sizes so
@@ -149,27 +179,21 @@ class ToucanTTSInterface:
                 noise = jnp.zeros((b, max_frames, self.config.mel_channels),
                                   jnp.float32)
                 knobs = jnp.ones((4,), jnp.float32)
-                fn = self._infer_fn(n_pad, max_frames, with_overrides)
+                fn = self._e2e_fn(n_pad, max_frames, with_overrides)
                 kw = {}
                 if with_overrides:
                     kw = dict(durations=jnp.ones((b, n_pad), jnp.int32),
                               pitch=jnp.zeros((b, n_pad, 1), jnp.float32),
                               energy=jnp.zeros((b, n_pad, 1), jnp.float32))
-                outs = fn(self.tts_variables, text, lens, utt, lang, noise,
-                          knobs, **kw)
+                outs = fn(self.tts_variables, self.vocoder_variables, text,
+                          lens, utt, lang, noise, knobs, **kw)
                 jax.block_until_ready(outs)
-                frames = _round_up(max_frames, 64)
-                if frames not in self._vocoder_cache:
-                    self._vocoder_cache[frames] = jax.jit(
-                        lambda v, m: self.vocoder.apply(v, m))
-                jax.block_until_ready(self._vocoder_cache[frames](
-                    self.vocoder_variables,
-                    jnp.zeros((b, frames, self.config.mel_channels), jnp.float32)))
 
     def synthesize_batch(self, texts, input_is_phones=False, languages=None,
                          utterance_embeddings=None, duration_scaling_factor=1.0,
                          pitch_variance_scale=1.0, energy_variance_scale=1.0,
-                         pause_duration_scaling_factor=1.0):
+                         pause_duration_scaling_factor=1.0,
+                         return_pcm16=False):
         """Batched multi-speaker / multi-lingual synthesis (BASELINE
         config 2): one device invocation for the acoustic model and one for
         the vocoder over the whole batch.
@@ -219,23 +243,18 @@ class ToucanTTSInterface:
         knobs = jnp.asarray([duration_scaling_factor, pitch_variance_scale,
                              energy_variance_scale, pause_duration_scaling_factor],
                             jnp.float32)
-        fn = self._infer_fn(n_pad, max_frames, False)
-        _, after, _, _, _, lens = fn(
-            self.tts_variables, jnp.asarray(text_arr), jnp.asarray(lengths),
-            jnp.asarray(utt), lang, noise, knobs)
-
-        frames = _round_up(max_frames, 64)
-        if frames not in self._vocoder_cache:
-            self._vocoder_cache[frames] = jax.jit(
-                lambda v, m: self.vocoder.apply(v, m))
-        mel_p = np.zeros((b, frames, self.config.mel_channels), np.float32)
-        mel_np = np.asarray(after)
+        fn = self._e2e_fn(n_pad, max_frames, False)
+        waves, _, _, _, _, lens = fn(
+            self.tts_variables, self.vocoder_variables, jnp.asarray(text_arr),
+            jnp.asarray(lengths), jnp.asarray(utt), lang, noise, knobs)
+        if return_pcm16:
+            # convert on device: a PCM16 fetch moves 4x fewer bytes than f32
+            # (matters on remote/attached accelerators; wav output is PCM16
+            # anyway)
+            waves = jax.jit(lambda w: jnp.round(
+                jnp.clip(w, -1.0, 1.0) * 32767.0).astype(jnp.int16))(waves)
         lens = np.asarray(lens)
-        for i in range(b):
-            mel_p[i, :lens[i]] = mel_np[i, :lens[i]]
-        waves = self._vocoder_cache[frames](self.vocoder_variables,
-                                            jnp.asarray(mel_p))
-        waves = np.asarray(waves)[..., 0]
+        waves = np.asarray(waves)
         return [waves[i, :int(lens[i]) * SAMPLES_PER_FRAME] for i in range(b)]
 
     def plot_synthesis(self, mel, durations, pitch, labels, path=None):
@@ -314,18 +333,20 @@ class ToucanTTSInterface:
                              energy_variance_scale, pause_duration_scaling_factor],
                             jnp.float32)
 
-        fn = self._infer_fn(n_pad, max_frames, with_overrides)
+        fn = self._e2e_fn(n_pad, max_frames, with_overrides)
         dur_arr = pad_override(durations)
         if dur_arr is not None:
             dur_arr = dur_arr.astype(jnp.int32)
-        before, after, dur, pit, ene, lens = fn(
-            self.tts_variables, jnp.asarray(text_arr), jnp.asarray([n], jnp.int32),
+        wave_dev, after, dur, pit, ene, lens = fn(
+            self.tts_variables, self.vocoder_variables, jnp.asarray(text_arr),
+            jnp.asarray([n], jnp.int32),
             jnp.asarray(self.default_utterance_embedding[None]), lang, noise, knobs,
             durations=dur_arr, pitch=pad_override(pitch), energy=pad_override(energy))
 
+        # fetch only what the caller needs: the wave (trimmed) always; the
+        # mel / prosody arrays only for plots or prosody returns
         mel_len = int(lens[0])
-        mel = np.asarray(after)[0, :mel_len]
-        wave = self._vocode(mel)
+        wave = np.asarray(wave_dev)[0, :mel_len * SAMPLES_PER_FRAME]
         if return_duration_pitch_energy:
             return wave, np.asarray(dur)[0, :n], np.asarray(pit)[0, :n, 0], \
                 np.asarray(ene)[0, :n, 0]
@@ -336,7 +357,8 @@ class ToucanTTSInterface:
             else:
                 labels = self.text2phone.get_phone_string(
                     text, for_plot_labels=True)
-            path = self.plot_synthesis(mel, np.asarray(dur)[0, :n],
+            path = self.plot_synthesis(np.asarray(after)[0, :mel_len],
+                                       np.asarray(dur)[0, :n],
                                        np.asarray(pit)[0, :n, 0], labels)
             return wave, path
         return wave
