@@ -71,9 +71,8 @@ class ToucanTTSInterface:
         if default_embedding is None:
             default_embedding = np.zeros(self.config.utt_embed_dim, np.float32)
         self.default_utterance_embedding = np.asarray(default_embedding, np.float32)
-        self._infer_cache = {}
-        self._vocoder_cache = {}
-        self._e2e_cache = {}
+        self._vocoder_cache = {}   # mel -> wave utility buckets
+        self._e2e_cache = {}       # fused text -> wave buckets
 
     # ------------------------------------------------------------- setters
 
@@ -104,25 +103,6 @@ class ToucanTTSInterface:
         self.default_utterance_embedding = np.asarray(emb[0])
 
     # ----------------------------------------------------------- synthesis
-
-    def _infer_fn(self, n_phones: int, max_frames: int, with_overrides: bool):
-        key = (n_phones, max_frames, with_overrides)
-        if key not in self._infer_cache:
-            model = self.model
-
-            def fn(variables, text, text_len, utt, lang, noise, knobs,
-                   durations=None, pitch=None, energy=None):
-                return model.apply(
-                    variables, text, text_len, max_frames,
-                    utterance_embedding=utt, lang_ids=lang,
-                    gold_durations=durations, gold_pitch=pitch, gold_energy=energy,
-                    duration_scaling_factor=knobs[0], pitch_variance_scale=knobs[1],
-                    energy_variance_scale=knobs[2],
-                    pause_duration_scaling_factor=knobs[3],
-                    glow_noise=noise, run_glow=True, method=ToucanTTS.infer)
-
-            self._infer_cache[key] = jax.jit(fn)
-        return self._infer_cache[key]
 
     def _vocode(self, mel: np.ndarray) -> np.ndarray:
         """(L, 80) -> (L*384,) 24 kHz wave, bucketed jit."""
