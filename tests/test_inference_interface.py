@@ -197,3 +197,24 @@ def test_synthesize_batch_pcm16(interface):
     # same content up to PCM quantization (glow noise differs per call, so
     # compare via a fresh seeded interface state instead: lengths only)
     assert len(waves[0]) == len(ref[0])
+
+
+def test_fused_path_matches_standalone_vocode(interface):
+    """The fused text->mel->wave call must equal vocoding the trimmed mel
+    separately (zero-masked padding is outside the vocoder's receptive
+    field of any kept sample)."""
+    n_pad, max_frames = 32, 32 * 16
+    fn = interface._e2e_fn(n_pad, max_frames, False)
+    phones = interface.text2phone.string_to_features(IPA, input_phonemes=True)
+    text = np.zeros((1, n_pad, 62), np.float32)
+    text[0, :len(phones)] = phones
+    noise = jax.random.normal(jax.random.PRNGKey(9), (1, max_frames, 80)) * 0.8
+    wave, after, dur, pit, ene, lens = fn(
+        interface.tts_variables, interface.vocoder_variables,
+        jnp.asarray(text), jnp.asarray([len(phones)], jnp.int32),
+        jnp.zeros((1, 64)), jnp.zeros((1, 1), jnp.int32), noise,
+        jnp.ones((4,), jnp.float32))
+    mel_len = int(lens[0])
+    fused = np.asarray(wave)[0, :mel_len * 384]
+    standalone = interface._vocode(np.asarray(after)[0, :mel_len])
+    np.testing.assert_allclose(fused, standalone, atol=2e-6)
