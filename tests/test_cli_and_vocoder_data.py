@@ -15,10 +15,42 @@ from toucan_tpu.data.vocoder_data import FRAMES, SEGMENT_24K, VocoderDataset
 
 
 def test_pipeline_dict_covers_reference_recipes():
+    """1:1 with the reference's pipeline_dict (run_training_pipeline.py:19-36)."""
     pipelines = build_pipeline_dict()
-    for key in ["nancy", "nancystoch", "meta", "fine_ex", "tt_it", "aligner",
-                "embedding", "avocodo", "bigvgan"]:
-        assert key in pipelines
+    reference_keys = {"nancy", "nancystoch", "meta", "fine_ex", "tt_it",
+                      "fs_it", "aligner", "embedding", "avocodo", "bigvgan"}
+    assert reference_keys <= set(pipelines)
+
+
+def test_meta_pipeline_has_reference_language_groups():
+    """The meta recipe builds the reference's 14 per-language groups over 33
+    corpora (ToucanTTS_MetaCheckpoint.py:47-193), incl. cmn/vi/pt-br."""
+    import inspect
+
+    from toucan_tpu.data.corpus_recipes import recipe_language
+    from toucan_tpu.recipes.pipelines import meta_pipeline
+
+    src = inspect.getsource(meta_pipeline)
+    # evaluate the literal groups list out of the source
+    groups_src = src[src.index("groups = ["):]
+    groups = eval(groups_src[len("groups = "):groups_src.index("]\n    return") + 1])
+    assert len(groups) == 14
+    langs = []
+    n_corpora = 0
+    for group in groups:
+        group_langs = set()
+        for spec in group:
+            name, lang = (spec[0], spec[1]) if isinstance(spec, tuple) else (spec, None)
+            group_langs.add(lang or recipe_language(name))
+            n_corpora += 1
+        assert len(group_langs) == 1, group
+        langs.append(group_langs.pop())
+    assert sorted(langs) == sorted(["en", "de", "el", "es", "fi", "ru", "hu",
+                                    "nl", "fr", "pt-br", "pl", "it", "cmn",
+                                    "vi"])
+    # 7 en + 6 de + 1 el + 3 es + 1 fi + 1 ru + 1 hu + 2 nl + 5 fr
+    # + 1 pt-br + 1 pl + 1 it + 2 cmn + 1 vi  (ToucanTTS_MetaCheckpoint.py)
+    assert n_corpora == 33
 
 
 def test_recipe_registry():
@@ -182,3 +214,42 @@ def test_tt_it_pipeline_end_to_end(tmp_path, monkeypatch):
     import os
     assert any(f.startswith("checkpoint") or f.endswith(".msgpack")
                for f in os.listdir(tmp_path / "model"))
+
+
+def test_fs_it_pipeline_end_to_end(tmp_path, monkeypatch):
+    """The `fs_it` embedding-function integration recipe end-to-end: corpus
+    prep -> FastSpeech2 + GST co-training -> embedding_function.msgpack on
+    disk (FastSpeech2Embedding_IntegrationTest.py:44-57)."""
+    import wave as wave_mod
+
+    import numpy as np
+
+    corpus = tmp_path / "corpora" / "NancyKrebs"
+    (corpus / "wav").mkdir(parents=True)
+    ipa = ["~ðɪs ɪz ə tˈɛst~#", "~hɛlˈoʊ wˈɜːld~#"]
+    lines = []
+    sr = 16000
+    for i, text in enumerate(ipa):
+        t = np.arange(int(sr * (1.3 + 0.2 * i))) / sr
+        sig = 0.5 * np.sin(2 * np.pi * (150 + 30 * i) * t)
+        pcm = (sig * 32767).astype(np.int16)
+        with wave_mod.open(str(corpus / "wav" / f"utt{i}.wav"), "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(sr)
+            f.writeframes(pcm.tobytes())
+        lines.append(f"utt{i}|{text}")
+    (corpus / "metadata.csv").write_text("\n".join(lines), encoding="utf8")
+
+    monkeypatch.setenv("TOUCAN_CORPORA_ROOT", str(tmp_path / "corpora"))
+    monkeypatch.chdir(tmp_path)
+
+    from tests.test_train_dist import TINY
+    from toucan_tpu.recipes.pipelines import (
+        fs_embedding_integration_test_pipeline)
+
+    gst_vars = fs_embedding_integration_test_pipeline(
+        steps=2, batch_size=2, warmup_steps=1, use_g2p=False, config=TINY,
+        model_dir=str(tmp_path / "model"))
+    assert "params" in gst_vars
+    assert os.path.exists(tmp_path / "model" / "embedding_function.msgpack")

@@ -22,6 +22,7 @@ def build_pipeline_dict():
         bigvgan_pipeline,
         embedding_pipeline,
         finetuning_example,
+        fs_embedding_integration_test_pipeline,
         integration_test_pipeline,
         meta_pipeline,
         nancy_pipeline,
@@ -33,6 +34,7 @@ def build_pipeline_dict():
         "meta": meta_pipeline,
         "fine_ex": finetuning_example,
         "tt_it": integration_test_pipeline,
+        "fs_it": fs_embedding_integration_test_pipeline,
         "aligner": aligner_pipeline,
         "embedding": embedding_pipeline,
         "avocodo": avocodo_pipeline,

@@ -61,7 +61,8 @@ class UtteranceCloner:
 
     def extract_prosody(self, transcript: str, ref_wave, sr: int = 16000,
                         lang: str = "en", on_line_fine_tune: bool = True,
-                        input_is_phones: bool = False):
+                        input_is_phones: bool = False,
+                        pathfinding: str = "MAS"):
         if self.tf.language != lang:
             self.tf = TextFrontend(language=lang, use_g2p=self.tts.use_g2p)
         if self.ap.input_sr != sr:
@@ -88,7 +89,8 @@ class UtteranceCloner:
         f2i = feature_index()
         boundary_indices = [i for i, v in enumerate(text)
                             if v[f2i["word-boundary"]] == 1]
-        alignment = alignment_from_logits(logits, token_ids)
+        alignment = alignment_from_logits(logits, token_ids,
+                                          method=pathfinding)
         durations, energy, pitch = extract_prosody(
             norm_wave, alignment, text, boundary_indices, n_frames=mel.shape[0])
         return durations, pitch, energy, start_silence, end_silence

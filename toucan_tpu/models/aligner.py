@@ -182,8 +182,77 @@ def mas_jax(scores: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.one_hot(path, tokens, dtype=jnp.float32)
 
 
-def alignment_from_logits(logits: np.ndarray, token_ids: np.ndarray) -> np.ndarray:
+# -------------------------------------------------------------- dijkstra
+
+def dijkstra_numpy(path_probs: np.ndarray) -> np.ndarray:
+    """Shortest monotone path through the (frames, tokens) cost grid.
+
+    Equivalent to the reference's alternative pathfinding
+    (``Aligner.py:141-199,245-280``): a sparse graph over grid nodes with
+    right / down / down-right moves, each edge weighted by the cost of the
+    *target* cell, solved with scipy's Dijkstra from node (0, 0) to
+    (frames-1, tokens-1); a frame visited multiple times (right moves) keeps
+    the last token on the path.  The grid graph is a DAG in node order, so
+    instead of materializing an O((T*N)^2) sparse matrix we run an exact
+    per-row DP: vertical candidates come from row i-1, and the within-row
+    right-move recurrence ``d[j] = min(v[j], d[j-1] + c[j])`` collapses to a
+    running minimum of ``v - cumsum(c)`` (also correct for negative edge
+    weights, where Dijkstra's greedy assumption breaks).
+
+    Returns a (frames, tokens) binary path matrix with one 1 per frame.
+    """
+    costs = np.asarray(path_probs, dtype=np.float64)
+    frames, cols = costs.shape
+    dist = np.empty((frames, cols))
+    # entry[i, j] = where (i, j) was entered from: own-row right move (the
+    # column it descended from row i-1 at) vs vertical; sign marks diag.
+    from_col = np.empty((frames, cols), dtype=np.int64)   # source column k<=j
+    vert_diag = np.zeros((frames, cols), dtype=bool)      # True: (i-1,k-1)
+
+    # row 0: only right moves from (0, 0); node (0, 0) itself costs nothing
+    row_cum = np.cumsum(costs[0])
+    dist[0] = row_cum - costs[0, 0]
+    dist[0, 0] = 0.0
+    from_col[0] = 0
+
+    for i in range(1, frames):
+        # vertical entry at column k: best of down (i-1, k) and diag (i-1, k-1)
+        down = dist[i - 1] + costs[i]
+        diag = np.concatenate([[np.inf], dist[i - 1, :-1]]) + costs[i]
+        use_diag = diag < down
+        vert = np.where(use_diag, diag, down)
+        # within-row right moves: d[j] = min_{k<=j} vert[k] + (cum[j] - cum[k])
+        cum = np.cumsum(costs[i])
+        key = vert - cum
+        run_min = np.minimum.accumulate(key)
+        # argmin of the running minimum (first occurrence, ties -> smallest k)
+        is_new_min = key == run_min
+        k_star = np.maximum.accumulate(np.where(is_new_min, np.arange(cols), -1))
+        dist[i] = run_min + cum
+        from_col[i] = k_star
+        vert_diag[i] = use_diag
+
+    # backtrack from (frames-1, cols-1)
+    path_plot = np.zeros((frames, cols), dtype=np.float32)
+    i, j = frames - 1, cols - 1
+    while True:
+        k = from_col[i, j]
+        path_plot[i, j] = 1.0  # last token per frame wins (mel_text overwrite)
+        if i == 0:
+            break
+        # frame i was entered vertically at column k; frames only record the
+        # final (largest) column, which is j — already set above
+        j = k - 1 if vert_diag[i, k] else k
+        i -= 1
+    return path_plot
+
+
+def alignment_from_logits(logits: np.ndarray, token_ids: np.ndarray,
+                          method: str = "MAS") -> np.ndarray:
     """(T, num_symbols) logits + token id sequence -> (T, N) binary alignment
-    via MAS on the token columns (reference: Aligner.inference)."""
+    on the token columns (reference: ``Aligner.inference`` with
+    ``pathfinding="MAS"`` or ``"dijkstra"``)."""
     pred_max = np.asarray(logits)[:, np.asarray(token_ids)]
+    if method.lower() == "dijkstra":
+        return dijkstra_numpy(1.0 - pred_max)
     return mas_numpy(pred_max)

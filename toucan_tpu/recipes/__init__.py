@@ -4,6 +4,7 @@ from toucan_tpu.recipes.pipelines import (
     bigvgan_pipeline,
     embedding_pipeline,
     finetuning_example,
+    fs_embedding_integration_test_pipeline,
     integration_test_pipeline,
     meta_pipeline,
     nancy_pipeline,

@@ -80,22 +80,43 @@ def _aligner_train_fn(datapoints, steps):
     return {"params": state.asr_params, "batch_stats": state.asr_batch_stats}
 
 
+def _prepare_recipe(spec, use_g2p=True):
+    """``spec`` is a recipe name, or ``(name, lang_override)``, or
+    ``(name, lang_override, ctc_selection)``."""
+    name, lang, ctc_selection = spec, None, True
+    if isinstance(spec, tuple):
+        name, lang = spec[0], spec[1]
+        if len(spec) > 2:
+            ctc_selection = spec[2]
+    lang = lang or corpus_recipes.recipe_language(name)
+    mapping = corpus_recipes.build_path_to_transcript_dict(name)
+    return prepare_fastspeech_corpus(
+        mapping, os.path.join("Corpora", name), lang,
+        aligner_train_fn=_aligner_train_fn, use_g2p=use_g2p,
+        ctc_selection=ctc_selection)
+
+
 def _tts_pipeline(recipe_names, save_name, steps=80_000, batch_size=24,
                   postnet_start_steps=9000, lr=1e-3, warmup_steps=8000,
                   use_discriminator=True, stochastic=False,
                   resume_checkpoint=None, resume=False, finetune=False,
                   model_dir=None, use_wandb=False, n_data=None, n_model=1,
                   seed=131714, use_g2p=True, config=None, **_):
+    """``recipe_names``: flat list of recipe specs (one dataset each), or a
+    list of lists — each inner list becomes ONE concatenated per-language
+    dataset for the meta loop (``ToucanTTS_MetaCheckpoint.py:180-193``)."""
     from toucan_tpu.train.loop import train_loop
 
     save_dir = model_dir or os.path.join(MODELS_DIR, save_name)
     datasets = []
-    for name in recipe_names:
-        lang = corpus_recipes.recipe_language(name)
-        mapping = corpus_recipes.build_path_to_transcript_dict(name)
-        datasets.append(prepare_fastspeech_corpus(
-            mapping, os.path.join("Corpora", name), lang,
-            aligner_train_fn=_aligner_train_fn, use_g2p=use_g2p))
+    for entry in recipe_names:
+        if isinstance(entry, list):  # per-language group -> ConcatDataset
+            group = []
+            for spec in entry:
+                group += _prepare_recipe(spec, use_g2p=use_g2p)
+            datasets.append(group)
+        else:
+            datasets.append(_prepare_recipe(entry, use_g2p=use_g2p))
     gst_variables = _load_gst_variables()
     return train_loop(datasets if len(datasets) > 1 else datasets[0],
                       gst_variables, save_dir, config=config,
@@ -126,16 +147,71 @@ def integration_test_pipeline(**kw):
 
 
 def meta_pipeline(**kw):
+    """Massively multilingual checkpoint: the reference's 14 per-language
+    ConcatDataset groups over 33 corpora (``ToucanTTS_MetaCheckpoint.py:47-193``),
+    incl. the non-Latin G2P languages (cmn via aishell3/css10, vi via VietTTS)
+    and Brazilian Portuguese."""
     kw.setdefault("steps", 160_000)
-    groups = [["nancy", "ljspeech", "libritts", "vctk"],
-              ["thorsten", "karlsson", "hokus"],
-              ["mls_french", "css10fr"], ["mls_dutch", "css10nl"],
-              ["mls_italian"], ["mls_polish"], ["mls_spanish", "css10es"],
-              ["mls_portuguese"], ["css10el"], ["css10fi"], ["css10ru"],
-              ["css10hu"]]
-    # one ConcatDataset per language group, like ToucanTTS_MetaCheckpoint
-    flat = [name for group in groups for name in group]
-    return _tts_pipeline(flat, "ToucanTTS_Meta", **kw)
+    groups = [
+        ["nancy", "ljspeech", "libritts_all_clean", "vctk", "nvidia_hifitts",
+         ("RAVDESS", None, False), "ESDS"],                       # en
+        ["karlsson", "eva", "hokus", "bernd", "hui_others", "thorsten"],  # de
+        ["css10el"],                                              # el
+        ["spanish_blizzard_train", "css10es", "mls_spanish"],     # es
+        ["css10fi"],                                              # fi
+        ["css10ru"],                                              # ru
+        ["css10hu"],                                              # hu
+        ["css10nl", "mls_dutch"],                                 # nl
+        ["siwis_subset", "blizzard2023_ad_silence_removed",
+         "blizzard2023_neb_e_silence_removed",
+         "blizzard2023_neb_silence_removed", "mls_french"],       # fr
+        [("mls_portuguese", "pt-br")],                            # pt-br
+        ["mls_polish"],                                           # pl
+        ["mls_italian"],                                          # it
+        ["css10cmn", "aishell3"],                                 # cmn
+        ["vietTTS"],                                              # vi
+    ]
+    return _tts_pipeline(groups, "ToucanTTS_Meta", **kw)
+
+
+def fs_embedding_integration_test_pipeline(resume_checkpoint=None, resume=False,
+                                           finetune=False, model_dir=None,
+                                           use_wandb=False, steps=2000,
+                                           batch_size=8, warmup_steps=500,
+                                           lr=1e-3, n_data=None, n_model=1,
+                                           seed=131714, use_g2p=True,
+                                           config=None, **_):
+    """``fs_it``: embedding-function integration test — co-trains FastSpeech2
+    with the GST style embedding on the 500-sample Nancy subset
+    (``FastSpeech2Embedding_IntegrationTest.py:44-57``)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+    from toucan_tpu.data.batching import BatchSampler
+    from toucan_tpu.train.embedding_train import (create_embedding_train_state,
+                                                  make_embedding_train_step)
+
+    save_dir = model_dir or os.path.join(MODELS_DIR, "FastSpeech2_IntegrationTest")
+    dataset = _prepare_recipe("integration_test", use_g2p=use_g2p)
+    state, optimizer, config = create_embedding_train_state(
+        jax.random.PRNGKey(seed), config=config, lr=lr,
+        warmup_steps=warmup_steps)
+    step = jax.jit(make_embedding_train_step(config, optimizer))
+    sampler = BatchSampler(dataset, batch_size=batch_size, seed=seed)
+    rng = jax.random.PRNGKey(seed)
+    while int(state.step) < steps:
+        for batch in sampler:
+            rng, sub = jax.random.split(rng)
+            state, _ = step(state, {k: jnp.asarray(v) for k, v in batch.items()},
+                            sub)
+            if int(state.step) >= steps:
+                break
+    os.makedirs(save_dir, exist_ok=True)
+    gst_vars = {"params": state.params["gst"],
+                "batch_stats": state.batch_stats["gst"]}
+    with open(os.path.join(save_dir, "embedding_function.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(gst_vars))
+    return gst_vars
 
 
 def finetuning_example(**kw):
