@@ -7,7 +7,7 @@ still exposes ``build_interface`` for programmatic use.
 
 import os
 
-from toucan_tpu.compat.load import interface_from_torch, _torch_load
+from toucan_tpu.compat.load import interface_from_torch, load_embedding_gan
 from toucan_tpu.infer.controllable import LANGUAGE_NAME_TO_CODE, ControllableInterface
 from toucan_tpu.models.embedding_gan import GanWrapper
 
@@ -19,19 +19,16 @@ def build_interface():
         tts_path=os.path.join(MODELS_DIR, "ToucanTTS_Meta", "best.pt"),
         vocoder_path=os.path.join(MODELS_DIR, "Avocodo", "best.pt"),
         embedding_path=os.path.join(MODELS_DIR, "Embedding", "embedding_function.pt"))
-    import jax
-    import jax.numpy as jnp
-    from toucan_tpu.models.embedding_gan import ResNetG
-
+    # the artificial-voice feature REQUIRES the trained WGAN generator
+    # (reference GAN.py:20-23); a random-init generator would silently
+    # produce garbage voices, so a missing checkpoint is a hard error.
     gan_ckpt_path = os.path.join(MODELS_DIR, "Embedding", "embedding_gan.pt")
-    gen = ResNetG()
-    if os.path.exists(gan_ckpt_path):
-        # converted lazily; the GAN checkpoint is optional for the GUI
-        from toucan_tpu.compat.load import _to_numpy_state_dict
-        ckpt = _torch_load(gan_ckpt_path)
-        print("note: embedding GAN conversion uses random init fallback if "
-              "the checkpoint layout is unexpected")
-    g_vars = gen.init(jax.random.PRNGKey(0), jnp.zeros((2, 32)))
+    if not os.path.exists(gan_ckpt_path):
+        raise FileNotFoundError(
+            f"embedding GAN checkpoint not found at {gan_ckpt_path}; "
+            "fetch it with run_model_downloader.py — the GUI's artificial "
+            "voices depend on the trained generator")
+    g_vars, gen, _, _ = load_embedding_gan(gan_ckpt_path)
     wrapper = GanWrapper(g_vars, gen)
     return ControllableInterface(tts, wrapper)
 

@@ -63,6 +63,33 @@ def load_style_embedding(path: str):
     return jax.tree.map(jnp.asarray, convert_style_embedding(sd))
 
 
+def load_embedding_gan(path: str):
+    """-> (g_variables, ResNetG instance, dataset_mean, dataset_std).
+
+    Reads the reference ``embedding_gan.pt`` (``GAN.py:31-39``): the
+    generator architecture comes from the checkpoint's own
+    ``model_parameters`` and the weights from ``generator_state_dict``.
+    """
+    from toucan_tpu.compat.torch_gan import convert_resnet_g
+    from toucan_tpu.models.embedding_gan import ResNetG
+
+    ckpt = _torch_load(path)
+    mp = ckpt["model_parameters"]
+    data_dim = mp["data_dim"][-1] if isinstance(mp["data_dim"], (list, tuple)) \
+        else mp["data_dim"]
+    generator = ResNetG(data_dim=data_dim, z_dim=mp["z_dim"], size=mp["size"],
+                        nfilter=mp["nfilter"], nfilter_max=mp["nfilter_max"])
+    sd = _to_numpy_state_dict(ckpt["generator_state_dict"])
+    variables = jax.tree.map(jnp.asarray, convert_resnet_g(sd, size=mp["size"]))
+    mean = ckpt.get("dataset_mean")
+    std = ckpt.get("dataset_std")
+    if mean is not None and hasattr(mean, "detach"):
+        mean = mean.detach().cpu().numpy()
+    if std is not None and hasattr(std, "detach"):
+        std = std.detach().cpu().numpy()
+    return variables, generator, mean, std
+
+
 def interface_from_torch(tts_path: str, vocoder_path: str, embedding_path: str,
                          vocoder_kind: str = "hifigan", language: str = "en",
                          use_g2p: bool = True):
