@@ -92,3 +92,75 @@ def test_load_aligner_checkpoint_file(tmp_path):
         expect = ref(torch.tensor(mel)).numpy()
     got = Aligner().apply(variables, jnp.asarray(mel))
     np.testing.assert_allclose(np.asarray(got), expect, atol=3e-4)
+
+
+def test_checkpoint_config_three_way_fallback(tmp_path):
+    """The reference tolerates multilingual -> multispeaker-only ->
+    single-speaker checkpoints (ToucanTTSInterface.py:56-63); the loader
+    detects each variant from the state-dict layout."""
+    import torch
+
+    ref_mod = import_reference_module(
+        "TrainingInterfaces.Text_to_Spectrogram.ToucanTTS.ToucanTTS")
+    from toucan_tpu.compat.load import load_toucan_tts, sniff_toucan_config
+    from toucan_tpu.compat import load as load_mod
+    from toucan_tpu.models import ToucanTTS
+
+    torch.manual_seed(0)
+    variants = {
+        "multilingual": dict(),
+        "multispeaker": dict(lang_embs=None),
+        "singlespeaker": dict(lang_embs=None, utt_embed_dim=None),
+    }
+    for name, kwargs in variants.items():
+        ref = ref_mod.ToucanTTS(encoder_layers=1, decoder_layers=1,
+                                pitch_predictor_layers=1, **kwargs)
+        ref.eval()
+        path = tmp_path / f"{name}.pt"
+        torch.save({"model": ref.state_dict(),
+                    "default_emb": torch.randn(64)}, path)
+        sd = load_mod._to_numpy_state_dict(ref.state_dict())
+        config = sniff_toucan_config(sd)
+        if name == "multilingual":
+            assert config.lang_embs == 8000 and config.utt_embed_dim == 64
+        elif name == "multispeaker":
+            assert config.lang_embs is None and config.utt_embed_dim == 64
+        else:
+            assert config.lang_embs is None and config.utt_embed_dim is None
+            assert not config.conditional_predictors
+
+        # full loader path (converter defaults are full-size; re-convert at
+        # the variant's layer counts to actually apply the model)
+        from toucan_tpu.compat.torch_toucan import convert_toucan_tts
+        import dataclasses
+        import jax
+        config = dataclasses.replace(config, enc_layers=1, dec_layers=1,
+                                     pitch_layers=1)
+        variables = jax.tree.map(jnp.asarray, convert_toucan_tts(
+            sd, enc_layers=1, dec_layers=1, pitch_layers=1,
+            conditional=config.conditional_predictors))
+        model = ToucanTTS(config)
+        rng = np.random.RandomState(0)
+        text = (rng.rand(5, 62) > 0.5).astype(np.float32)
+        import torch as _t
+        with _t.no_grad():
+            kw = {}
+            if config.utt_embed_dim is not None:
+                kw["utterance_embedding"] = _t.zeros(64)
+            if config.lang_embs is not None:
+                kw["lang_id"] = _t.tensor([3])
+            r_before = ref.inference(_t.tensor(text),
+                                     return_duration_pitch_energy=True,
+                                     run_postflow=False, **kw)[0]
+        jkw = {}
+        if config.utt_embed_dim is not None:
+            jkw["utterance_embedding"] = jnp.zeros((1, 64))
+        if config.lang_embs is not None:
+            jkw["lang_ids"] = jnp.full((1, 1), 3, jnp.int32)
+        frames = int(r_before.shape[0])
+        outs = model.apply(variables, jnp.asarray(text[None]),
+                           jnp.asarray([5]), frames + 2 + frames % 2,
+                           run_glow=False, method=ToucanTTS.infer, **jkw)
+        before = outs[0]
+        np.testing.assert_allclose(np.asarray(before)[0, :frames],
+                                   r_before.numpy(), atol=3e-4, rtol=1e-3)

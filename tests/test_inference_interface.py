@@ -218,3 +218,30 @@ def test_fused_path_matches_standalone_vocode(interface):
     fused = np.asarray(wave)[0, :mel_len * 384]
     standalone = interface._vocode(np.asarray(after)[0, :mel_len])
     np.testing.assert_allclose(fused, standalone, atol=2e-6)
+
+
+def test_read_aloud_plays_through_injected_player(interface):
+    """read_aloud (ToucanTTSInterface.py:287-296): synthesis + trailing
+    silence pad + playback call; 48 kHz PCM16 in compatibility mode."""
+    calls = []
+
+    class Player:
+        @staticmethod
+        def play(wav, samplerate):
+            calls.append((np.asarray(wav), samplerate))
+
+        @staticmethod
+        def wait():
+            calls.append(("wait", None))
+
+    assert interface.read_aloud("", _player=Player) is None  # empty: no-op
+    wav = interface.read_aloud(IPA, input_is_phones=True, _player=Player)
+    assert calls and calls[-1][1] == 24000
+    assert len(calls[-1][0]) == len(wav)
+    assert (calls[-1][0][-12000:] == 0).all()  # silence pad
+
+    calls.clear()
+    interface.read_aloud(IPA, input_is_phones=True, blocking=True,
+                         increased_compatibility_mode=True, _player=Player)
+    assert calls[0][1] == 48000 and calls[0][0].dtype == np.int16
+    assert calls[-1] == ("wait", None)

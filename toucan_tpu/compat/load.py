@@ -24,16 +24,50 @@ def _torch_load(path):
     return torch.load(path, map_location="cpu", weights_only=False)
 
 
-def load_toucan_tts(path: str):
-    """-> (variables, default_embedding | None)."""
+def sniff_toucan_config(sd) -> "ToucanTTSConfig":
+    """Detect the checkpoint variant from its keys — the reference's 3-way
+    fallback (``ToucanTTSInterface.py:56-63``): multilingual-multispeaker ->
+    multispeaker-only (``lang_embs=None``) -> single-speaker
+    (``utt_embed_dim=None`` too, plain-LayerNorm predictors)."""
+    from toucan_tpu.models.toucan_tts import ToucanTTSConfig
+
+    adim = sd["encoder.embed.0.weight"].shape[0] if "encoder.embed.0.weight" in sd \
+        else ToucanTTSConfig.adim
+    lang_embs = None
+    if "encoder.language_embedding.weight" in sd:
+        lang_embs = int(sd["encoder.language_embedding.weight"].shape[0])
+    utt_embed_dim = None
+    if "encoder.hs_emb_projection.weight" in sd:
+        # Linear(adim + utt_embed_dim -> adim)  (Conformer.py:70)
+        w = sd["encoder.hs_emb_projection.weight"]
+        utt_embed_dim = int(w.shape[1] - w.shape[0])
+    conditional = any(k.startswith("duration_predictor.norms")
+                      and "embedding_projection" in k for k in sd) or (
+        utt_embed_dim is not None)
+    return ToucanTTSConfig(lang_embs=lang_embs, utt_embed_dim=utt_embed_dim,
+                           conditional_predictors=conditional and
+                           utt_embed_dim is not None)
+
+
+def load_toucan_tts(path: str, return_config: bool = False):
+    """-> (variables, default_embedding | None[, config]).
+
+    ``return_config=True`` additionally returns the
+    :class:`ToucanTTSConfig` detected from the checkpoint layout (the
+    reference's multilingual / multispeaker / single-speaker fallback,
+    ``ToucanTTSInterface.py:56-63``)."""
     from toucan_tpu.compat.torch_toucan import convert_toucan_tts
 
     ckpt = _torch_load(path)
     sd = _to_numpy_state_dict(ckpt["model"])
-    variables = jax.tree.map(jnp.asarray, convert_toucan_tts(sd))
+    config = sniff_toucan_config(sd)
+    variables = jax.tree.map(jnp.asarray, convert_toucan_tts(
+        sd, conditional=config.conditional_predictors))
     default_emb = ckpt.get("default_emb")
     if default_emb is not None:
         default_emb = default_emb.detach().cpu().numpy()
+    if return_config:
+        return variables, default_emb, config
     return variables, default_emb
 
 
@@ -97,10 +131,11 @@ def interface_from_torch(tts_path: str, vocoder_path: str, embedding_path: str,
     migration path for users switching from the PyTorch toolkit."""
     from toucan_tpu.infer.interface import ToucanTTSInterface
 
-    tts_vars, default_emb = load_toucan_tts(tts_path)
+    tts_vars, default_emb, config = load_toucan_tts(tts_path,
+                                                    return_config=True)
     voc_vars = load_vocoder(vocoder_path, vocoder_kind)
     gst_vars = load_style_embedding(embedding_path)
-    return ToucanTTSInterface(tts_vars, voc_vars, gst_vars,
+    return ToucanTTSInterface(tts_vars, voc_vars, gst_vars, config=config,
                               default_embedding=default_emb,
                               vocoder=vocoder_kind, language=language,
                               use_g2p=use_g2p)

@@ -70,7 +70,7 @@ def _t_conv_stack(sd, key, n_layers, conditional):
         if conditional:
             stack[f"cln_{i}"] = _t_cln(sd, f"{key}.norms.{i}")
         else:
-            stack[f"ln_{i}"] = {"ln": _t_layernorm(sd, f"{key}.norms.{i}")}
+            stack[f"ln_{i}"] = _t_layernorm(sd, f"{key}.norms.{i}")
     stack["linear"] = _t_linear(sd, f"{key}.linear")
     return {"stack": stack}
 

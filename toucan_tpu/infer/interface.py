@@ -68,9 +68,11 @@ class ToucanTTSInterface:
                                                     cut_silence=True)
         self.set_language(language)
         self.rng = jax.random.PRNGKey(seed)
-        if default_embedding is None:
+        if default_embedding is None and self.config.utt_embed_dim is not None:
             default_embedding = np.zeros(self.config.utt_embed_dim, np.float32)
-        self.default_utterance_embedding = np.asarray(default_embedding, np.float32)
+        self.default_utterance_embedding = (
+            None if default_embedding is None
+            else np.asarray(default_embedding, np.float32))
         self._vocoder_cache = {}   # mel -> wave utility buckets
         self._e2e_cache = {}       # fused text -> wave buckets
 
@@ -153,7 +155,8 @@ class ToucanTTSInterface:
                 max_frames = n_pad * FRAMES_PER_PHONE
                 text = jnp.zeros((b, n_pad, 62), jnp.float32)
                 lens = jnp.full((b,), n_pad, jnp.int32)
-                utt = jnp.zeros((b, self.config.utt_embed_dim), jnp.float32)
+                utt = (jnp.zeros((b, self.config.utt_embed_dim), jnp.float32)
+                       if self.config.utt_embed_dim is not None else None)
                 lang = (jnp.zeros((b, 1), jnp.int32)
                         if self.lang_id is not None else None)
                 noise = jnp.zeros((b, max_frames, self.config.mel_channels),
@@ -211,7 +214,8 @@ class ToucanTTSInterface:
         max_frames = n_pad * FRAMES_PER_PHONE
 
         if utterance_embeddings is None:
-            utt = np.tile(self.default_utterance_embedding[None], (b, 1))
+            utt = (None if self.default_utterance_embedding is None
+                   else np.tile(self.default_utterance_embedding[None], (b, 1)))
         else:
             utt = np.asarray(utterance_embeddings, np.float32).reshape(b, -1)
         lang = (jnp.asarray([[l] for l in lang_ids_list], jnp.int32)
@@ -317,10 +321,11 @@ class ToucanTTSInterface:
         dur_arr = pad_override(durations)
         if dur_arr is not None:
             dur_arr = dur_arr.astype(jnp.int32)
+        utt = (None if self.default_utterance_embedding is None
+               else jnp.asarray(self.default_utterance_embedding[None]))
         wave_dev, after, dur, pit, ene, lens = fn(
             self.tts_variables, self.vocoder_variables, jnp.asarray(text_arr),
-            jnp.asarray([n], jnp.int32),
-            jnp.asarray(self.default_utterance_embedding[None]), lang, noise, knobs,
+            jnp.asarray([n], jnp.int32), utt, lang, noise, knobs,
             durations=dur_arr, pitch=pad_override(pitch), energy=pad_override(energy))
 
         # fetch only what the caller needs: the wave (trimmed) always; the
@@ -377,6 +382,36 @@ class ToucanTTSInterface:
                             subtype="PCM_16" if increased_compatibility_mode else None)
         except ImportError:
             _write_wav(file_location, wav, sr)
+        return wav
+
+
+    def read_aloud(self, text, duration_scaling_factor=1.0,
+                   pitch_variance_scale=1.0, energy_variance_scale=1.0,
+                   blocking=False, increased_compatibility_mode=False,
+                   input_is_phones=False, _player=None):
+        """Synthesize and play through the host's audio device (reference
+        ``ToucanTTSInterface.py:287-296``): pads half a second of trailing
+        silence, optionally doubles to 48 kHz PCM16 for picky devices, and
+        blocks until playback finishes when asked.  ``_player`` overrides the
+        sounddevice module (for tests / headless hosts)."""
+        if not text or text.strip() == "":
+            return
+        player = _player
+        if player is None:
+            import sounddevice as player  # host audio is inherently optional
+        wav = self(text, duration_scaling_factor=duration_scaling_factor,
+                   pitch_variance_scale=pitch_variance_scale,
+                   energy_variance_scale=energy_variance_scale,
+                   input_is_phones=input_is_phones)
+        wav = np.concatenate([wav, np.zeros(12000, np.float32)])
+        sr = 24000
+        if increased_compatibility_mode:
+            wav = np.repeat(wav, 2)
+            sr = 48000
+            wav = (np.clip(wav, -1, 1) * 32767).astype(np.int16)
+        player.play(wav, samplerate=sr)
+        if blocking:
+            player.wait()
         return wav
 
 
