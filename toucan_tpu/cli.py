@@ -51,6 +51,20 @@ def main(argv=None):
                         help="data-parallel mesh extent (default: all devices)")
     parser.add_argument("--n_model", type=int, default=1,
                         help="tensor-parallel mesh extent")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="multi-host coordinator address host:port "
+                             "(or env TOUCAN_COORDINATOR; omit on TPU pods "
+                             "with --distributed for auto-detection)")
+    parser.add_argument("--num_processes", type=int, default=None,
+                        help="multi-host process count (or env "
+                             "TOUCAN_NUM_PROCESSES)")
+    parser.add_argument("--process_id", type=int, default=None,
+                        help="this host's process id (or env "
+                             "TOUCAN_PROCESS_ID)")
+    parser.add_argument("--distributed", action="store_true",
+                        help="initialize the multi-host runtime even with "
+                             "no explicit coordinator flags (TPU pod "
+                             "auto-detection)")
     parser.add_argument("--resume_checkpoint", type=str, default=None)
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--finetune", action="store_true")
@@ -62,6 +76,14 @@ def main(argv=None):
 
     if args.corpora_root:
         os.environ["TOUCAN_CORPORA_ROOT"] = args.corpora_root
+
+    if (args.distributed or args.coordinator or args.num_processes is not None
+            or args.process_id is not None
+            or "TOUCAN_COORDINATOR" in os.environ):
+        from toucan_tpu.dist import initialize_distributed
+        initialize_distributed(coordinator_address=args.coordinator,
+                               num_processes=args.num_processes,
+                               process_id=args.process_id)
 
     if args.wandb:
         try:

@@ -126,9 +126,11 @@ def load_embedding_gan(path: str):
 
 def interface_from_torch(tts_path: str, vocoder_path: str, embedding_path: str,
                          vocoder_kind: str = "hifigan", language: str = "en",
-                         use_g2p: bool = True):
+                         use_g2p: bool = True, **interface_kwargs):
     """Build a ready ToucanTTSInterface from reference checkpoints — the
-    migration path for users switching from the PyTorch toolkit."""
+    migration path for users switching from the PyTorch toolkit.  Extra
+    kwargs (e.g. ``matmul_precision="float32"`` for the parity-precision
+    policy, ``dtype=jnp.bfloat16`` for serving) pass through."""
     from toucan_tpu.infer.interface import ToucanTTSInterface
 
     tts_vars, default_emb, config = load_toucan_tts(tts_path,
@@ -138,4 +140,4 @@ def interface_from_torch(tts_path: str, vocoder_path: str, embedding_path: str,
     return ToucanTTSInterface(tts_vars, voc_vars, gst_vars, config=config,
                               default_embedding=default_emb,
                               vocoder=vocoder_kind, language=language,
-                              use_g2p=use_g2p)
+                              use_g2p=use_g2p, **interface_kwargs)

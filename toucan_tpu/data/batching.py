@@ -21,15 +21,21 @@ def _ceil_to(n, m):
     return max(m, int(math.ceil(n / m)) * m)
 
 
-def pad_batch(datapoints, text_bucket: int = 32, frame_bucket: int = 64):
+def pad_batch(datapoints, text_bucket: int = 32, frame_bucket: int = 64,
+              pad_to=None):
     """List of datapoint dicts -> one padded batch dict of numpy arrays.
 
     Datapoints carry: text (T, 62), mel (L, 80), durations (T,), energy
-    (T, 1), pitch (T, 1), lang_id (int).
+    (T, 1), pitch (T, 1), lang_id (int).  ``pad_to=(tmax, lmax)`` forces
+    fixed padded shapes — required in multi-process training, where every
+    host's local batch must share the global array shape.
     """
     b = len(datapoints)
-    tmax = _ceil_to(max(len(d["text"]) for d in datapoints), text_bucket)
-    lmax = _ceil_to(max(len(d["mel"]) for d in datapoints), frame_bucket)
+    if pad_to is not None:
+        tmax, lmax = pad_to
+    else:
+        tmax = _ceil_to(max(len(d["text"]) for d in datapoints), text_bucket)
+        lmax = _ceil_to(max(len(d["mel"]) for d in datapoints), frame_bucket)
     batch = dict(
         text=np.zeros((b, tmax, 62), np.float32),
         text_lengths=np.zeros((b,), np.int32),
@@ -57,18 +63,20 @@ class BatchSampler:
     """Shuffled drop-last batch iterator over one dataset."""
 
     def __init__(self, dataset, batch_size: int, seed: int = 0,
-                 text_bucket: int = 32, frame_bucket: int = 64):
+                 text_bucket: int = 32, frame_bucket: int = 64, pad_to=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.rng = np.random.RandomState(seed)
         self.text_bucket = text_bucket
         self.frame_bucket = frame_bucket
+        self.pad_to = pad_to
 
     def __iter__(self):
         order = self.rng.permutation(len(self.dataset))
         for i in range(0, len(order) - self.batch_size + 1, self.batch_size):
             chosen = [self.dataset[j] for j in order[i:i + self.batch_size]]
-            yield pad_batch(chosen, self.text_bucket, self.frame_bucket)
+            yield pad_batch(chosen, self.text_bucket, self.frame_bucket,
+                            pad_to=self.pad_to)
 
     def __len__(self):
         return len(self.dataset) // self.batch_size
@@ -79,12 +87,13 @@ class MetaBatchSampler:
     language, until ``batch_size`` is reached."""
 
     def __init__(self, datasets_per_language, batch_size: int, seed: int = 0,
-                 text_bucket: int = 32, frame_bucket: int = 64):
+                 text_bucket: int = 32, frame_bucket: int = 64, pad_to=None):
         self.datasets = list(datasets_per_language)
         self.batch_size = batch_size
         self.rng = np.random.RandomState(seed)
         self.text_bucket = text_bucket
         self.frame_bucket = frame_bucket
+        self.pad_to = pad_to
 
     def sample_batch(self):
         chosen = []
@@ -95,4 +104,5 @@ class MetaBatchSampler:
                 chosen.append(ds[self.rng.randint(len(ds))])
                 if len(chosen) == self.batch_size:
                     break
-        return pad_batch(chosen, self.text_bucket, self.frame_bucket)
+        return pad_batch(chosen, self.text_bucket, self.frame_bucket,
+                         pad_to=self.pad_to)

@@ -8,16 +8,66 @@ over 'model' (Megatron-style column/row split).  XLA inserts the matching
 all-reduces over ICI from the shardings alone; there is no hand-written
 collective in the model code.
 
-Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh`` and
-the same code runs across pod slices (DCN handles the cross-host ring).
+Multi-host: ``initialize_distributed()`` (flags, env vars, or TPU-pod
+auto-detect) before ``make_mesh`` and the same code runs across pod slices
+(DCN handles the cross-host ring); per-host batches assemble into global
+arrays with ``make_global_batch``.
 """
 
+import os
 import re
 from typing import Optional
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None,
+                           local_device_ids=None) -> None:
+    """Multi-host runtime bring-up (wraps ``jax.distributed.initialize``).
+
+    Resolution order per field: explicit argument -> ``TOUCAN_COORDINATOR``
+    / ``TOUCAN_NUM_PROCESSES`` / ``TOUCAN_PROCESS_ID`` env vars -> JAX's own
+    auto-detection (TPU pods discover the coordinator from the metadata
+    server, so all-None is the normal pod path).  Safe to call once per
+    process, before any device use.
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        "TOUCAN_COORDINATOR")
+    if num_processes is None and "TOUCAN_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["TOUCAN_NUM_PROCESSES"])
+    if process_id is None and "TOUCAN_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["TOUCAN_PROCESS_ID"])
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    if local_device_ids is not None:
+        kwargs["local_device_ids"] = local_device_ids
+    jax.distributed.initialize(**kwargs)
+
+
+def make_global_batch(batch: dict, mesh: Mesh) -> dict:
+    """Host-local batch arrays -> global arrays sharded over 'data'.
+
+    Single-process: a plain device put (the pjit in_shardings lay it out).
+    Multi-process: every host contributes its local slice of the global
+    batch via ``jax.make_array_from_process_local_data`` — the per-host
+    data-sharding wiring the reference never needed (single GPU).
+    """
+    import jax.numpy as jnp
+
+    if jax.process_count() == 1:
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+    sh = batch_sharding(mesh)
+    return {k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+            for k, v in batch.items()}
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,

@@ -1,0 +1,385 @@
+"""Built-in rule-based English G2P (espeak-ng fallback).
+
+The reference frontend requires espeak-ng for every plain-text language
+(``Preprocessing/TextFrontend.py:168-172``).  espeak is an optional host
+dependency here too — when it is absent, this module keeps plain-text
+*English* input working: an exceptions lexicon for frequent irregular
+words, a context-sensitive letter-to-sound ruleset (NRL-style grapheme
+rewrite rules: Elovitz et al. 1976, "Automatic translation of English text
+to phonetics", the classic public-domain approach), a first-content-vowel
+stress heuristic, and integer number reading.
+
+Output is IPA restricted to the articulatory inventory's alphabet, with
+words separated by spaces and punctuation preserved — exactly what
+``TextFrontend.postprocess_phoneme_string`` expects.  It is a *fallback*:
+espeak remains the reference-parity path when installed.
+"""
+
+from __future__ import annotations
+
+import re
+
+# ---------------------------------------------------------------- lexicon
+
+# Frequent words with irregular spellings (general-American IPA, inventory
+# alphabet; ˈ marks primary stress).
+_EXCEPTIONS = {
+    "the": "ðə", "a": "ə", "an": "ən", "of": "ʌv", "to": "tu", "and": "ænd",
+    "in": "ɪn", "is": "ɪz", "was": "wˈʌz", "he": "hi", "she": "ʃi",
+    "it": "ɪt", "for": "fɔɹ", "on": "ɑn", "are": "ɑɹ", "as": "æz",
+    "with": "wɪð", "his": "hɪz", "they": "ðeɪ", "i": "aɪ", "at": "æt",
+    "be": "bi", "this": "ðˈɪs", "have": "hæv", "from": "fɹʌm", "or": "ɔɹ",
+    "one": "wˈʌn", "had": "hæd", "by": "baɪ", "word": "wˈɜɹd", "but": "bʌt",
+    "not": "nɑt", "what": "wˈʌt", "all": "ɔl", "were": "wɜɹ", "we": "wi",
+    "when": "wɛn", "your": "jɔɹ", "can": "kæn", "said": "sˈɛd",
+    "there": "ðɛɹ", "use": "jˈuz", "each": "ˈitʃ", "which": "wˈɪtʃ",
+    "do": "du", "how": "haʊ", "their": "ðɛɹ", "if": "ɪf", "will": "wɪl",
+    "up": "ʌp", "other": "ˈʌðəɹ", "about": "əbˈaʊt", "out": "aʊt",
+    "many": "mˈɛni", "then": "ðɛn", "them": "ðɛm", "these": "ðiz",
+    "so": "soʊ", "some": "sʌm", "her": "hɜɹ", "would": "wʊd",
+    "make": "mˈeɪk", "like": "lˈaɪk", "him": "hɪm", "into": "ˈɪntu",
+    "time": "tˈaɪm", "has": "hæz", "look": "lˈʊk", "two": "tˈu",
+    "more": "mɔɹ", "write": "ɹˈaɪt", "go": "ɡoʊ", "see": "si",
+    "no": "noʊ", "way": "weɪ", "could": "kʊd", "people": "pˈipəl",
+    "my": "maɪ", "than": "ðæn", "first": "fˈɜɹst", "water": "wˈɔtəɹ",
+    "been": "bɪn", "who": "hu", "its": "ɪts", "now": "naʊ",
+    "find": "fˈaɪnd", "long": "lˈɔŋ", "down": "daʊn", "day": "deɪ",
+    "did": "dɪd", "get": "ɡɛt", "come": "kˈʌm", "made": "mˈeɪd",
+    "may": "meɪ", "any": "ˈɛni", "very": "vˈɛɹi", "after": "ˈæftəɹ",
+    "where": "wɛɹ", "most": "moʊst", "through": "θɹu", "our": "aʊɹ",
+    "good": "ɡˈʊd", "me": "mi", "give": "ɡˈɪv", "does": "dʌz",
+    "another": "ənˈʌðəɹ", "even": "ˈivən", "because": "bɪkˈʌz",
+    "here": "hiɹ", "why": "waɪ", "again": "əɡˈɛn", "move": "mˈuv",
+    "something": "sˈʌmθɪŋ", "thought": "θˈɔt", "both": "boʊθ",
+    "once": "wˈʌns", "hear": "hiɹ", "often": "ˈɔfən", "example": "ɪɡzˈæmpəl",
+    "together": "təɡˈɛðəɹ", "group": "ɡɹˈup", "always": "ˈɔlweɪz",
+    "those": "ðoʊz", "only": "ˈoʊnli", "little": "lˈɪtəl", "work": "wˈɜɹk",
+    "know": "noʊ", "place": "plˈeɪs", "year": "jiɹ", "live": "lˈɪv",
+    "back": "bˈæk", "gives": "ɡˈɪvz", "world": "wˈɜɹld", "put": "pˈʊt",
+    "own": "ˈoʊn", "says": "sˈɛz", "great": "ɡɹˈeɪt", "new": "nu",
+    "sound": "sˈaʊnd", "take": "tˈeɪk", "every": "ˈɛvɹi", "under": "ˈʌndəɹ",
+    "also": "ˈɔlsoʊ", "found": "fˈaʊnd", "women": "wˈɪmən",
+    "woman": "wˈʊmən", "want": "wˈɑnt", "show": "ʃoʊ", "around": "əɹˈaʊnd",
+    "form": "fɔɹm", "three": "θɹˈi", "small": "smˈɔl", "large": "lˈɑɹdʒ",
+    "must": "mʌst", "big": "bˈɪɡ", "off": "ɔf", "came": "kˈeɪm",
+    "should": "ʃʊd", "mr": "mˈɪstəɹ", "mrs": "mˈɪsɪz", "laugh": "lˈæf",
+    "eye": "aɪ", "eyes": "aɪz", "heart": "hˈɑɹt", "earth": "ˈɜɹθ",
+    "friend": "fɹˈɛnd", "done": "dˈʌn", "gone": "ɡˈɔn", "none": "nˈʌn",
+    "learn": "lˈɜɹn", "early": "ˈɜɹli", "heard": "hˈɜɹd", "sure": "ʃʊɹ",
+    "four": "fɔɹ", "buy": "baɪ", "busy": "bˈɪzi", "business": "bˈɪznəs",
+    "pause": "pˈɔz", "says'": "sˈɛz", "half": "hˈæf", "talk": "tˈɔk",
+    "walk": "wˈɔk", "above": "əbˈʌv", "love": "lˈʌv", "front": "fɹˈʌnt",
+    "month": "mˈʌnθ", "money": "mˈʌni", "son": "sˈʌn", "nothing": "nˈʌθɪŋ",
+    "enough": "ɪnˈʌf", "young": "jˈʌŋ", "touch": "tˈʌtʃ", "blood": "blˈʌd",
+    "flood": "flˈʌd", "door": "dɔɹ", "floor": "flɔɹ", "island": "ˈaɪlənd",
+    "iron": "ˈaɪəɹn", "answer": "ˈænsəɹ", "beautiful": "bjˈutɪfəl",
+    "sentence": "sˈɛntəns", "minute": "mˈɪnət", "usually": "jˈuʒuəli",
+    "idea": "aɪdˈiə", "area": "ˈɛɹiə", "piece": "pˈis", "during": "dˈʊɹɪŋ",
+    "ocean": "ˈoʊʃən", "machine": "məʃˈin", "complex": "kˈɑmplɛks",
+    "science": "sˈaɪəns", "quite": "kwˈaɪt", "believe": "bɪlˈiv",
+    "whole": "hoʊl", "though": "ðoʊ", "tough": "tˈʌf", "cough": "kˈɔf",
+    "could've": "kˈʊdəv", "i'm": "aɪm", "i'll": "aɪl", "i've": "aɪv",
+    "it's": "ɪts", "don't": "doʊnt", "doesn't": "dˈʌzənt",
+    "can't": "kˈænt", "won't": "woʊnt", "isn't": "ˈɪzənt",
+    "you're": "jʊɹ", "you": "ju", "wasn't": "wˈʌzənt", "we're": "wiɹ",
+    "they're": "ðɛɹ", "there's": "ðɛɹz", "that's": "ðˈæts",
+    "that": "ðæt", "haven't": "hˈævənt", "over": "ˈoʊvəɹ",
+    "watch": "wˈɑtʃ", "goes": "ɡoʊz", "yes": "jˈɛs", "oh": "ˈoʊ",
+    "being": "bˈiɪŋ", "really": "ɹˈɪli",
+}
+
+# ------------------------------------------------------------------ rules
+
+# (grapheme, left-context regex | None, right-context regex | None, ipa).
+# First match wins; rules are tried at each position in order, so longer /
+# more specific graphemes come first.  Contexts are regexes anchored at the
+# boundary: left matches the END of the preceding letters, right matches
+# the START of the following letters.  "V"/"C" shorthands are expanded.
+_V = "[aeiouy]"
+_C = "[bcdfghjklmnpqrstvwxz]"
+
+_RULES = [
+    # --- multi-letter suffixes / clusters (longest first) ---
+    ("ought", None, None, "ɔt"),
+    ("aught", None, None, "ɔt"),
+    ("tion", None, None, "ʃən"),
+    ("sion", _V, None, "ʒən"),
+    ("sion", None, None, "ʃən"),
+    ("cial", None, None, "ʃəl"),
+    ("tial", None, None, "ʃəl"),
+    ("cious", None, None, "ʃəs"),
+    ("tious", None, None, "ʃəs"),
+    ("ture", None, "$", "tʃəɹ"),
+    ("sure", _V, "$", "ʒəɹ"),
+    ("ough", None, None, "oʊ"),
+    ("augh", None, None, "ɔ"),
+    ("eigh", None, None, "eɪ"),
+    ("igh", None, None, "aɪ"),
+    ("dge", None, None, "dʒ"),
+    ("tch", None, None, "tʃ"),
+    ("qu", None, None, "kw"),
+    ("squ", None, None, "skw"),
+    # --- silent letter clusters at word start ---
+    ("kn", "^$", None, "n"),
+    ("gn", "^$", None, "n"),
+    ("wr", "^$", None, "ɹ"),
+    ("ps", "^$", None, "s"),
+    ("pn", "^$", None, "n"),
+    ("wh", "^$", "o", "h"),          # who, whole
+    ("wh", None, None, "w"),
+    # --- consonant digraphs ---
+    ("ch", None, None, "tʃ"),
+    ("sh", None, None, "ʃ"),
+    ("ph", None, None, "f"),
+    ("th", "^$", f"{_V}*e($|s$|d$|n)", "ð"),  # the(n/se/re) handled in lexicon
+    ("th", _V, _V, "ð"),             # mother, weather
+    ("th", None, None, "θ"),
+    ("ck", None, None, "k"),
+    ("gh", _V, None, ""),            # silent after vowel (high, weigh)
+    ("ng", None, "$|s$", "ŋ"),
+    ("ng", None, _V, "ŋɡ"),          # finger
+    ("ng", None, None, "ŋ"),
+    ("nk", None, None, "ŋk"),
+    # --- vowel digraphs ---
+    ("eau", None, None, "ju"),
+    # --- r-colored vowels (before plain digraphs: "ear" beats "ea") ---
+    ("air", None, None, "ɛɹ"),
+    ("are", None, "$", "ɛɹ"),
+    ("ear", None, _C, "ɜɹ"),         # learn-class mostly in lexicon
+    ("ear", None, None, "iɹ"),
+    ("eer", None, None, "iɹ"),
+    ("ere", None, "$", "iɹ"),
+    ("ire", None, "$", "aɪəɹ"),
+    ("ore", None, "$", "ɔɹ"),
+    ("our", None, None, "ɔɹ"),
+    ("oor", None, None, "ʊɹ"),
+    ("ur", None, None, "ɜɹ"),
+    ("ir", None, None, "ɜɹ"),
+    ("er", None, "$", "əɹ"),
+    ("er", None, None, "ɜɹ"),
+    ("ar", None, "$", "əɹ"),         # dollar, sugar
+    ("ar", None, None, "ɑɹ"),
+    ("or", _C, "$", "əɹ"),           # doctor, actor
+    ("or", None, None, "ɔɹ"),
+    # --- plain vowel digraphs ---
+    ("ee", None, None, "i"),
+    ("ea", None, "d$", "ɛ"),         # head, bread (read/lead ambiguous)
+    ("ea", None, None, "i"),
+    ("ai", None, None, "eɪ"),
+    ("ay", None, None, "eɪ"),
+    ("ey", None, "$", "i"),
+    ("ei", None, None, "eɪ"),
+    ("oa", None, None, "oʊ"),
+    ("oo", None, "k", "ʊ"),          # book, look
+    ("oo", None, None, "u"),
+    ("ou", None, "s$", "ə"),         # famous
+    ("ou", None, None, "aʊ"),
+    ("ow", None, "$|n$|el", "aʊ"),   # now, down, towel (snow-class in lexicon)
+    ("ow", None, None, "oʊ"),
+    ("oi", None, None, "ɔɪ"),
+    ("oy", None, None, "ɔɪ"),
+    ("au", None, None, "ɔ"),
+    ("aw", None, None, "ɔ"),
+    ("ew", None, None, "u"),
+    ("ue", None, "$", "u"),
+    ("ui", None, None, "u"),
+    ("ie", None, "$", "aɪ"),         # tie, lie
+    ("ie", None, None, "i"),         # field, piece
+    ("ioning", None, None, "jənɪŋ"),
+    # --- magic-e long vowels: V C e$ (and before suffix -s/-d) ---
+    ("a", None, f"{_C}e(s|d)?$", "eɪ"),
+    ("i", None, f"{_C}e(s|d)?$", "aɪ"),
+    ("o", None, f"{_C}e(s|d)?$", "oʊ"),
+    ("u", None, f"{_C}e(s|d)?$", "ju"),
+    ("e", None, f"{_C}e(s|d)?$", "i"),
+    # --- single vowels ---
+    ("y", "^$", None, "j"),
+    ("y", _C, "$", "i"),             # happy; (try/by-class via lexicon)
+    ("y", None, _V, "j"),
+    ("y", None, None, "ɪ"),
+    ("a", None, "l(l|w)", "ɔ"),      # all, always
+    ("a", None, None, "æ"),
+    ("e", None, "$", ""),            # silent final e
+    ("e", None, "d$", "ə"),          # -ed (engine refines to t/d/ɪd below)
+    ("e", f"{_C}{_C}|{_V}{_C}", "s$", ""),  # silent e in -es after stem+cons
+    ("e", None, None, "ɛ"),
+    ("i", None, "nd$", "aɪ"),        # find, kind
+    ("i", None, "ld$", "aɪ"),        # child, wild
+    ("i", None, None, "ɪ"),
+    ("o", None, "$", "oʊ"),
+    ("o", None, "ld", "oʊ"),         # old, cold
+    ("o", None, None, "ɑ"),
+    ("u", None, None, "ʌ"),
+    # --- single consonants ---
+    ("b", None, None, "b"),
+    ("c", None, "[eiy]", "s"),
+    ("c", None, None, "k"),
+    ("d", None, None, "d"),
+    ("f", None, None, "f"),
+    ("g", None, "[eiy]", "dʒ"),      # (get/give-class in lexicon)
+    ("g", None, None, "ɡ"),
+    ("h", _V, None, ""),             # silent post-vocalic h
+    ("h", None, None, "h"),
+    ("j", None, None, "dʒ"),
+    ("k", None, None, "k"),
+    ("l", None, None, "l"),
+    ("m", None, None, "m"),
+    ("n", None, "g$", "ŋ"),
+    ("n", None, None, "n"),
+    ("p", None, None, "p"),
+    ("r", None, None, "ɹ"),
+    ("s", _V, _V, "z"),              # intervocalic s is usually voiced
+    ("s", None, None, "s"),
+    ("t", None, None, "t"),
+    ("v", None, None, "v"),
+    ("w", None, None, "w"),
+    ("x", "^$", None, "z"),          # xylophone
+    ("x", None, None, "ks"),
+    ("z", None, None, "z"),
+    ("q", None, None, "k"),
+    ("'", None, None, ""),
+]
+
+_COMPILED = [(g,
+              re.compile(f"(?:{lc})$") if lc else None,
+              re.compile(f"^(?:{rc})") if rc else None,
+              ipa)
+             for g, lc, rc, ipa in _RULES]
+
+_FUNCTION_WORDS = {
+    "the", "a", "an", "of", "to", "and", "in", "is", "it", "for", "on",
+    "are", "as", "with", "his", "her", "its", "at", "be", "or", "by", "but",
+    "not", "we", "he", "she", "they", "you", "i", "me", "him", "them", "us",
+    "my", "your", "our", "their", "this", "that", "these", "those", "from",
+    "was", "were", "been", "am", "do", "did", "does", "has", "have", "had",
+    "will", "would", "can", "could", "shall", "should", "may", "might",
+    "must", "if", "then", "than", "so", "no", "nor", "up", "out", "off",
+}
+
+_VOWEL_IPA = set("aeiouæɑɒɔʌəɛɜɪʊ")
+
+_ONES = ["zero", "one", "two", "three", "four", "five", "six", "seven",
+         "eight", "nine", "ten", "eleven", "twelve", "thirteen", "fourteen",
+         "fifteen", "sixteen", "seventeen", "eighteen", "nineteen"]
+_TENS = ["", "", "twenty", "thirty", "forty", "fifty", "sixty", "seventy",
+         "eighty", "ninety"]
+
+
+def number_to_words(n: int) -> str:
+    """Integer -> English words (enough for reading dates/counts aloud)."""
+    if n < 0:
+        return "minus " + number_to_words(-n)
+    if n < 20:
+        return _ONES[n]
+    if n < 100:
+        t, o = divmod(n, 10)
+        return _TENS[t] + (" " + _ONES[o] if o else "")
+    if n < 1000:
+        h, r = divmod(n, 100)
+        return _ONES[h] + " hundred" + (" " + number_to_words(r) if r else "")
+    for scale, name in [(10 ** 9, "billion"), (10 ** 6, "million"),
+                        (1000, "thousand")]:
+        if n >= scale:
+            big, r = divmod(n, scale)
+            return (number_to_words(big) + " " + name +
+                    (" " + number_to_words(r) if r else ""))
+    return str(n)
+
+
+def _spell_out_numbers(text: str) -> str:
+    return re.sub(r"\d+", lambda m: number_to_words(int(m.group())), text)
+
+
+def _letters_to_sounds(word: str) -> str:
+    out = []
+    i = 0
+    n = len(word)
+    while i < n:
+        for g, lc, rc, ipa in _COMPILED:
+            if not word.startswith(g, i):
+                continue
+            if lc is not None and not lc.search(word[:i]):
+                continue
+            if rc is not None and not rc.search(word[i + len(g):]):
+                continue
+            out.append(ipa)
+            i += len(g)
+            break
+        else:
+            i += 1  # unknown character: skip
+    return "".join(out)
+
+
+_VOICELESS = set("ptkfθsʃ")
+
+
+def _fix_ed_es(word: str, ipa: str) -> str:
+    """Regular-inflection phonology: -ed -> t/d/ɪd, -es -> s/z/ɪz."""
+    if word.endswith("ed") and len(word) > 3 and ipa.endswith("əd"):
+        stem = ipa[:-2]
+        if stem.endswith(("t", "d")):
+            return stem + "ɪd"
+        if stem and stem[-1] in _VOICELESS:
+            return stem + "t"
+        return stem + "d"
+    if word.endswith("s") and not word.endswith("ss") and ipa.endswith("s"):
+        stem = ipa[:-1]
+        if stem.endswith(("s", "z", "ʃ", "ʒ", "tʃ", "dʒ")):
+            return stem + "ɪz"
+        if stem and stem[-1] not in _VOICELESS:
+            return stem + "z"
+    return ipa
+
+
+def _add_stress(word: str, ipa: str) -> str:
+    """Primary stress on the first vowel of content words (heuristic; the
+    reference's espeak has true lexical stress)."""
+    if word in _FUNCTION_WORDS or "ˈ" in ipa:
+        return ipa
+    for i, ch in enumerate(ipa):
+        if ch in _VOWEL_IPA:
+            return ipa[:i] + "ˈ" + ipa[i:]
+    return ipa
+
+
+def _word_to_ipa(word: str) -> str:
+    base = word.lower()
+    if base in _EXCEPTIONS:
+        return _EXCEPTIONS[base]
+    # simple inflections of lexicon words: -s / -'s / -ed / -ing / -ly
+    if base.endswith("'s") and base[:-2] in _EXCEPTIONS:
+        stem = _EXCEPTIONS[base[:-2]]
+        return _fix_ed_es(base[:-1], stem + "s")
+    if base.endswith("s") and base[:-1] in _EXCEPTIONS:
+        return _fix_ed_es(base, _EXCEPTIONS[base[:-1]] + "s")
+    if base.endswith("ed") and base[:-2] in _EXCEPTIONS:
+        return _fix_ed_es(base, _EXCEPTIONS[base[:-2]] + "əd")
+    if base.endswith("ing") and base[:-3] in _EXCEPTIONS:
+        return _EXCEPTIONS[base[:-3]] + "ɪŋ"
+    if base.endswith("ly") and base[:-2] in _EXCEPTIONS:
+        return _EXCEPTIONS[base[:-2]] + "li"
+    # double consonant letters are single phones (hello, missing, battle)
+    collapsed = re.sub(r"([bcdfghjklmnpqrstvz])\1", r"\1", base)
+    ipa = _letters_to_sounds(collapsed)
+    ipa = _fix_ed_es(base, ipa)
+    return _add_stress(base, ipa)
+
+
+_TOKEN = re.compile(r"[a-zA-Z']+|[^\sa-zA-Z']")
+
+
+def phonemize_english(text: str) -> str:
+    """Plain English text -> IPA string (words space-separated, punctuation
+    kept in place for the frontend's pause handling)."""
+    text = _spell_out_numbers(text)
+    pieces = []
+    for tok in _TOKEN.findall(text):
+        if tok[0].isalpha() or tok[0] == "'":
+            pieces.append(_word_to_ipa(tok))
+        else:
+            # punctuation attaches to the previous word like espeak's output
+            if pieces:
+                pieces[-1] += tok
+            else:
+                pieces.append(tok)
+    return " ".join(p for p in pieces if p)

@@ -206,9 +206,16 @@ class TextFrontend:
             from dragonmapper.transcriptions import pinyin_to_ipa
             return pinyin_to_ipa(text)
         if self._g2p is None:
+            if self.language == "en":
+                # built-in rule-based fallback keeps plain-text English
+                # working on hosts without espeak (see frontend/g2p_en.py);
+                # espeak remains the reference-parity path when installed.
+                from toucan_tpu.frontend.g2p_en import phonemize_english
+                return phonemize_english(text)
             raise RuntimeError(
                 "no G2P engine available (phonemizer/espeak-ng not installed); "
-                "pass IPA input via phones_to_features / input_phonemes=True")
+                "the built-in fallback covers English only — pass IPA input "
+                "via phones_to_features / input_phonemes=True")
         phones = self._g2p.phonemize([text], strip=True)[0]
         if self.g2p_lang == "vi":
             for num, ipa in _VI_TONES:

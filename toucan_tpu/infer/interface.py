@@ -40,11 +40,19 @@ class ToucanTTSInterface:
     def __init__(self, tts_variables, vocoder_variables, gst_variables,
                  default_embedding=None, config: Optional[ToucanTTSConfig] = None,
                  vocoder="hifigan", language: str = "en",
-                 use_g2p: bool = True, seed: int = 0, dtype=None):
+                 use_g2p: bool = True, seed: int = 0, dtype=None,
+                 matmul_precision: str = "default"):
         """``vocoder``: "hifigan" | "bigvgan" or a vocoder module instance.
         ``dtype`` (e.g. jnp.bfloat16) overrides the compute dtype of the
         default-constructed acoustic model and vocoder — the serving
-        configuration on TPU."""
+        configuration on TPU.
+
+        ``matmul_precision`` is the documented precision policy: "default"
+        runs TPU matmuls in the MXU's fast (bf16-input) mode — the serving
+        path (~2e-2 mel error vs the f32 torch reference); "float32" forces
+        full-precision MXU passes at ~3x matmul cost — the parity path
+        (~7e-5 mel error; see BENCH_NOTES.md).  CPU is unaffected (always
+        f32-exact)."""
         import dataclasses
 
         self.config = config or ToucanTTSConfig()
@@ -64,6 +72,7 @@ class ToucanTTSInterface:
         self.vocoder_variables = vocoder_variables
         self.gst_variables = gst_variables
         self.use_g2p = use_g2p
+        self.matmul_precision = matmul_precision
         self.audio_preprocessor = AudioPreprocessor(input_sr=16000, output_sr=16000,
                                                     cut_silence=True)
         self.set_language(language)
@@ -110,8 +119,13 @@ class ToucanTTSInterface:
         """(L, 80) -> (L*384,) 24 kHz wave, bucketed jit."""
         frames = _round_up(len(mel), 64)
         if frames not in self._vocoder_cache:
-            self._vocoder_cache[frames] = jax.jit(
-                lambda v, m: self.vocoder.apply(v, m))
+            precision = self.matmul_precision
+
+            def vocode(v, m):
+                with jax.default_matmul_precision(precision):
+                    return self.vocoder.apply(v, m)
+
+            self._vocoder_cache[frames] = jax.jit(vocode)
         mel_p = np.zeros((1, frames, mel.shape[1]), np.float32)
         mel_p[0, :len(mel)] = mel
         wave = self._vocoder_cache[frames](self.vocoder_variables, jnp.asarray(mel_p))
@@ -126,9 +140,16 @@ class ToucanTTSInterface:
         key = (n_phones, max_frames, with_overrides)
         if key not in self._e2e_cache:
             model, vocoder = self.model, self.vocoder
+            precision = self.matmul_precision
 
             def fn(tts_v, voc_v, text, text_len, utt, lang, noise, knobs,
                    durations=None, pitch=None, energy=None):
+                with jax.default_matmul_precision(precision):
+                    return _fn(tts_v, voc_v, text, text_len, utt, lang,
+                               noise, knobs, durations, pitch, energy)
+
+            def _fn(tts_v, voc_v, text, text_len, utt, lang, noise, knobs,
+                    durations=None, pitch=None, energy=None):
                 outs = model.apply(
                     tts_v, text, text_len, max_frames,
                     utterance_embedding=utt, lang_ids=lang,

@@ -85,11 +85,27 @@ def train_loop(datasets, gst_variables, save_directory: str,
             steps_fns[run_glow] = fn
         return steps_fns[run_glow]
 
+    # multi-host: each process samples its own 1/Nth of the global batch
+    # (distinct seed) and pads to dataset-wide fixed shapes so the per-host
+    # slices assemble into one consistent global array
+    n_proc = jax.process_count()
+    local_bs, pad_to = batch_size, None
+    if n_proc > 1:
+        assert mesh is not None, "multi-process training needs a mesh"
+        assert batch_size % n_proc == 0, \
+            f"global batch {batch_size} must divide over {n_proc} processes"
+        local_bs = batch_size // n_proc
+        seed = seed + 7919 * jax.process_index()
+        from toucan_tpu.data.batching import _ceil_to
+        tmax = max(len(d["text"]) for ds in datasets for d in ds)
+        lmax = max(len(d["mel"]) for ds in datasets for d in ds)
+        pad_to = (_ceil_to(tmax, 32), _ceil_to(lmax, 64))
+
     if is_meta:
-        sampler = MetaBatchSampler(datasets, batch_size, seed=seed)
+        sampler = MetaBatchSampler(datasets, local_bs, seed=seed, pad_to=pad_to)
         steps_per_ckpt = steps_per_checkpoint or 1000
     else:
-        sampler = BatchSampler(datasets[0], batch_size, seed=seed)
+        sampler = BatchSampler(datasets[0], local_bs, seed=seed, pad_to=pad_to)
         steps_per_ckpt = steps_per_checkpoint or max(len(sampler), 1)
 
     step_rng = jax.random.PRNGKey(seed + 1)
@@ -102,18 +118,31 @@ def train_loop(datasets, gst_variables, save_directory: str,
             step_count = int(state.step)
             run_glow = step_count > postnet_start_steps or fine_tune
             step_fn = get_step_fn(run_glow)
-            batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
+            if mesh is not None:
+                from toucan_tpu.dist import make_global_batch
+                batch_dev = make_global_batch(batch, mesh)
+            else:
+                batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
             state, metrics = step_fn(state, batch_dev, step_rng)
             if step_count % log_every == 0:
                 history.append({k: float(v) for k, v in metrics.items()})
                 for cb in callbacks:
                     cb(step_count, history[-1])
 
-        # epoch / checkpoint-interval boundary
+        # epoch / checkpoint-interval boundary.  Multi-process state is not
+        # fully host-addressable -> orbax sharded IO; single-process keeps
+        # the light msgpack path.
         step_count = int(state.step)
-        checkpointing.save_checkpoint(save_directory, state, step_count)
-        if step_count > 3 * postnet_start_steps:
-            state = checkpointing.swa_update(save_directory, state, n=2)
+        if n_proc > 1:
+            from toucan_tpu.train.sharded_checkpointing import (
+                save_sharded_checkpoint, swa_average)
+            save_sharded_checkpoint(save_directory, state, step_count)
+            if step_count > 3 * postnet_start_steps:
+                state = swa_average(save_directory, state, n=2)
+        else:
+            checkpointing.save_checkpoint(save_directory, state, step_count)
+            if step_count > 3 * postnet_start_steps:
+                state = checkpointing.swa_update(save_directory, state, n=2)
         print(f"steps: {step_count}  elapsed: {round((time.time()-start)/60)} min")
         if step_count > steps:
             return state, history
