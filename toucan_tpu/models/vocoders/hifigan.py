@@ -134,6 +134,45 @@ class FoldedResidualStack(nn.Module):
         return x_folded
 
 
+def calibrate_act_scales(model: "HiFiGANGenerator", variables, mel):
+    """Per-stage activation scales for the int8 serving mode
+    (``stage_mode="int8"``).
+
+    Runs the exact (XLA folded) generator once on a representative mel,
+    capturing each stage's folded input, then computes per-conv max
+    activations (kernels/pallas_stage.py::calibrate_stage_scales).  Returns
+    ``{stage_index: (n_convs,) f32}`` to pass as ``act_scales``.
+    """
+    import jax
+
+    from toucan_tpu.kernels.pallas_stage import calibrate_stage_scales
+
+    capture = model.clone(stage_mode="", sow_stage_inputs=True)
+    _, state = capture.apply(variables, jnp.asarray(mel, jnp.float32),
+                             mutable=["intermediates"])
+    inter = state["intermediates"]
+    params = variables["params"]
+    scales = {}
+    for i, scale in enumerate(model.upsample_scales):
+        ch = model.channels // (2 ** (i + 1))
+        fold = model.min_lanes // ch if ch < model.min_lanes else 1
+        if fold * ch not in (128, 256):
+            continue
+        x_f = inter[f"stage_input_{i}"][0]
+        stack_params = []
+        for j, (rk, dils) in enumerate(zip(model.resblock_kernel_sizes,
+                                           model.resblock_dilations)):
+            block = params[f"block_{i}_{j}"]
+            stack_params.append([
+                (block[f"conv1_{r}"]["kernel"], block[f"conv1_{r}"]["bias"],
+                 block[f"conv2_{r}"]["kernel"], block[f"conv2_{r}"]["bias"])
+                for r in range(len(dils))])
+        scales[i] = jax.jit(calibrate_stage_scales, static_argnums=(2, 3, 4, 5))(
+            x_f, stack_params, fold, tuple(model.resblock_kernel_sizes),
+            tuple(model.resblock_dilations[0]), model.slope)
+    return scales
+
+
 class HiFiGANGenerator(nn.Module):
     in_channels: int = 80
     channels: int = 512
@@ -151,11 +190,18 @@ class HiFiGANGenerator(nn.Module):
     imcol_mode: str = ""
     imcol_stages: Tuple[int, ...] = (1, 2, 3)  # stage indices eligible
     imcol_dense: bool = False  # full-row taps (dense folded weights)
+    # v4 scratch-staged fused-stage kernel (kernels/pallas_stage.py):
+    # "" = off, else "int8" (serving PTQ; pass act_scales from
+    # calibrate_act_scales) | "bf16" | "f32" (exact)
+    stage_mode: str = ""
+    stage_tile: int = 512
+    sow_stage_inputs: bool = False  # sow folded stage inputs (calibration)
     skip_stages: Tuple[int, ...] = ()  # benchmarking aid: skip resblocks
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, c, return_intermediates: bool = False):
+    def __call__(self, c, return_intermediates: bool = False,
+                 act_scales=None):
         """c (B, T, 80) -> wave (B, 384*T, 1) [+ x2, x1 Avocodo taps]."""
         x = nn.Conv(self.channels, (self.kernel_size,), dtype=self.dtype,
                     name="input_conv")(c)
@@ -175,11 +221,35 @@ class HiFiGANGenerator(nn.Module):
                 x = conv_transpose_1d(x, kernel, scale, (up_k - scale) // 2) + bias
 
             fold = self.min_lanes // ch if (self.use_folding and ch < self.min_lanes) else 1
+            if self.sow_stage_inputs:
+                self.sow("intermediates", f"stage_input_{i}",
+                         fold_time(x, fold) if fold > 1 else x)
             if i in self.skip_stages:
                 for j, (rk, dils) in enumerate(zip(self.resblock_kernel_sizes,
                                                    self.resblock_dilations)):
                     _StackParams(ch, rk, dils, dtype=self.dtype,
                                  name=f"block_{i}_{j}")()
+            elif self.stage_mode and fold * ch in (128, 256):
+                from toucan_tpu.kernels.pallas_stage import fused_stage_resstacks
+                import jax as _jax
+                stack_params = [
+                    _StackParams(ch, rk, dils, dtype=self.dtype,
+                                 name=f"block_{i}_{j}")()
+                    for j, (rk, dils) in enumerate(zip(self.resblock_kernel_sizes,
+                                                       self.resblock_dilations))]
+                assert all(d == self.resblock_dilations[0]
+                           for d in self.resblock_dilations), \
+                    "stage kernel assumes uniform dilations across stacks"
+                x_f = fold_time(x, fold) if fold > 1 else x
+                stream = jnp.float32 if self.stage_mode == "f32" else jnp.bfloat16
+                fused = fused_stage_resstacks(
+                    x_f, stack_params, fold, self.resblock_kernel_sizes,
+                    self.resblock_dilations[0],
+                    act_scales=None if act_scales is None else act_scales[i],
+                    tile=self.stage_tile, slope=self.slope,
+                    mode=self.stage_mode, stream_dtype=stream,
+                    interpret=_jax.devices()[0].platform == "cpu")
+                x = unfold_time(fused, fold) if fold > 1 else fused
             elif self.imcol_mode and ch <= 128 and i in self.imcol_stages:
                 from toucan_tpu.kernels.pallas_imcol import fused_imcol_resstacks
                 import jax as _jax
