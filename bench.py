@@ -342,6 +342,32 @@ def main():
                 _stft_audio_s_per_s(on_tpu), 1)
         except Exception as exc:
             result["extra"]["stft_error"] = str(exc)[:200]
+        if on_tpu:  # int8 serving mode (v4 fused-stage kernel)
+            try:
+                import numpy as np
+
+                from toucan_tpu.models.vocoders.hifigan import (
+                    calibrate_act_scales)
+
+                f32_model = HiFiGANGenerator()
+                mel32 = mel.astype(jnp.float32)
+                scales = calibrate_act_scales(f32_model, variables, mel32[:1])
+                scales = {k: jnp.asarray(v) for k, v in scales.items()}
+                q_model = HiFiGANGenerator(dtype=dtype, stage_mode="int8")
+                sec_q = _timed_chain(
+                    lambda v, m: q_model.apply(v, m, act_scales=scales),
+                    variables, mel, chain)
+                result["extra"]["vocoder_int8_audio_s_per_s"] = round(
+                    audio_seconds / sec_q, 1)
+                # quality: int8 vs exact f32 on the same mel
+                w_ref = jax.jit(f32_model.apply)(variables, mel32[:1])
+                w_q = jax.jit(lambda v, m: q_model.apply(
+                    v, m, act_scales=scales))(variables, mel32[:1])
+                result["extra"]["vocoder_int8_max_abs_err_vs_f32"] = float(
+                    np.abs(np.asarray(w_q, np.float32)
+                           - np.asarray(w_ref, np.float32)).max())
+            except Exception as exc:
+                result["extra"]["int8_error"] = str(exc)[:200]
         try:
             err = _waveform_parity_max_abs_err()
             if err is not None:

@@ -245,3 +245,20 @@ def test_read_aloud_plays_through_injected_player(interface):
                          increased_compatibility_mode=True, _player=Player)
     assert calls[0][1] == 48000 and calls[0][0].dtype == np.int16
     assert calls[-1] == ("wait", None)
+
+
+def test_quantize_vocoder_int8_serving(interface):
+    """quantize_vocoder: calibration through the acoustic model, then int8
+    synthesis stays close to the exact path (tiny models, interpret mode)."""
+    exact = interface(IPA, input_is_phones=True)
+    scales = interface.quantize_vocoder()
+    assert interface.vocoder.stage_mode == "int8"
+    quant = interface(IPA, input_is_phones=True)
+    assert quant.shape == exact.shape
+    assert np.isfinite(quant).all()
+    assert np.abs(quant - exact).max() < 0.05
+    # restore for other tests sharing the fixture
+    interface.vocoder = interface.vocoder.clone(stage_mode="")
+    interface._voc_act_scales = None
+    interface._e2e_cache.clear()
+    interface._vocoder_cache.clear()

@@ -84,6 +84,7 @@ class ToucanTTSInterface:
             else np.asarray(default_embedding, np.float32))
         self._vocoder_cache = {}   # mel -> wave utility buckets
         self._e2e_cache = {}       # fused text -> wave buckets
+        self._voc_act_scales = None  # set by quantize_vocoder (int8 serving)
 
     # ------------------------------------------------------------- setters
 
@@ -113,7 +114,58 @@ class ToucanTTSInterface:
                              jnp.asarray([len(spec)]))
         self.default_utterance_embedding = np.asarray(emb[0])
 
+    def quantize_vocoder(self, calibration_mel=None, calibration_text=None):
+        """Switch the vocoder to the int8 serving mode (the v4 fused-stage
+        kernel, kernels/pallas_stage.py): calibrates per-conv activation
+        scales on a representative mel, then re-jits with
+        ``stage_mode="int8"``.  ~3x MXU rate over bf16 on the residual
+        stages at a bounded quality cost (see BENCH_NOTES.md).
+
+        ``calibration_mel``: (B, T, 80) log-mel; default: one synthesized
+        from ``calibration_text`` (or a built-in pangram) through the
+        acoustic model, which matches serving statistics exactly.
+        """
+        from toucan_tpu.models.vocoders.hifigan import (HiFiGANGenerator,
+                                                        calibrate_act_scales)
+
+        if not isinstance(self.vocoder, HiFiGANGenerator):
+            raise ValueError("int8 serving mode supports the HiFiGAN/Avocodo "
+                             "generator (the production default)")
+        if calibration_mel is None:
+            text = calibration_text or "~ðə kwˈɪk bɹˈaʊn fˈɑks dʒˈʌmps ˈoʊvəɹ ðə lˈeɪzi dˈɔɡ~#"
+            phones = self.text2phone.string_to_features(text, input_phonemes=True)
+            n = len(phones)
+            n_pad = _round_up(n, PHONE_BUCKET)
+            text_arr = np.zeros((1, n_pad, phones.shape[1]), np.float32)
+            text_arr[0, :n] = phones
+            max_frames = n_pad * FRAMES_PER_PHONE
+            self.rng, noise_rng = jax.random.split(self.rng)
+            noise = jax.random.normal(noise_rng, (1, max_frames,
+                                                  self.config.mel_channels)) * 0.8
+            utt = (None if self.default_utterance_embedding is None
+                   else jnp.asarray(self.default_utterance_embedding[None]))
+            lang = (jnp.asarray([[self.lang_id]], jnp.int32)
+                    if self.lang_id is not None else None)
+            outs = self.model.apply(
+                self.tts_variables, jnp.asarray(text_arr),
+                jnp.asarray([n], jnp.int32), max_frames,
+                utterance_embedding=utt, lang_ids=lang, glow_noise=noise,
+                run_glow=True, method=ToucanTTS.infer)
+            calibration_mel = np.asarray(outs[1], np.float32)[:, :int(outs[5][0])]
+        scales = calibrate_act_scales(self.vocoder, self.vocoder_variables,
+                                      calibration_mel)
+        self._voc_act_scales = {k: jnp.asarray(v) for k, v in scales.items()}
+        self.vocoder = self.vocoder.clone(stage_mode="int8")
+        self._vocoder_cache.clear()
+        self._e2e_cache.clear()
+        return scales
+
     # ----------------------------------------------------------- synthesis
+
+    def _voc_apply(self, v, m):
+        if self._voc_act_scales is not None:
+            return self.vocoder.apply(v, m, act_scales=self._voc_act_scales)
+        return self.vocoder.apply(v, m)
 
     def _vocode(self, mel: np.ndarray) -> np.ndarray:
         """(L, 80) -> (L*384,) 24 kHz wave, bucketed jit."""
@@ -121,9 +173,11 @@ class ToucanTTSInterface:
         if frames not in self._vocoder_cache:
             precision = self.matmul_precision
 
+            voc_apply = self._voc_apply
+
             def vocode(v, m):
                 with jax.default_matmul_precision(precision):
-                    return self.vocoder.apply(v, m)
+                    return voc_apply(v, m)
 
             self._vocoder_cache[frames] = jax.jit(vocode)
         mel_p = np.zeros((1, frames, mel.shape[1]), np.float32)
@@ -139,7 +193,7 @@ class ToucanTTSInterface:
         semantics to the zero-padded `_vocode` path."""
         key = (n_phones, max_frames, with_overrides)
         if key not in self._e2e_cache:
-            model, vocoder = self.model, self.vocoder
+            model = self.model
             precision = self.matmul_precision
 
             def fn(tts_v, voc_v, text, text_len, utt, lang, noise, knobs,
@@ -161,7 +215,7 @@ class ToucanTTSInterface:
                 _, after, dur, pit, ene, lens = outs
                 mask = (jnp.arange(max_frames)[None, :] < lens[:, None])[..., None]
                 mel = jnp.where(mask, after.astype(jnp.float32), 0.0)
-                wave = vocoder.apply(voc_v, mel)[..., 0]
+                wave = self._voc_apply(voc_v, mel)[..., 0]
                 return wave, after, dur, pit, ene, lens
 
             self._e2e_cache[key] = jax.jit(fn)
