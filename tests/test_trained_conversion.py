@@ -1,0 +1,209 @@
+"""Checkpoint conversion parity with TRAINED torch weights.
+
+Round-1 parity only ever used random-init reference models; trained weight
+distributions are where conversion bugs hide (weight-norm g/v magnitudes
+that have drifted apart, BatchNorm running stats, glow ActNorm data-dependent
+init).  Real released checkpoints are unreachable in this image (no egress),
+so these tests train each reference torch model for a few genuine optimizer
+steps on synthetic data — enough to move every one of those statistics off
+its init — and then require the same conversion parity as before.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.conftest import import_reference_module, reference_available
+
+pytestmark = pytest.mark.skipif(not reference_available(),
+                                reason="reference not mounted")
+
+
+def test_hifigan_conversion_after_training_steps():
+    """Weight-norm g/v drift apart under real gradient steps; folding at
+    conversion must still reproduce the waveform exactly."""
+    import torch
+
+    ref_mod = import_reference_module(
+        "TrainingInterfaces.Spectrogram_to_Wave.HiFiGAN.HiFiGAN")
+    torch.manual_seed(0)
+    ref = ref_mod.HiFiGANGenerator()  # Avocodo taps assume default widths
+    opt = torch.optim.Adam(ref.parameters(), lr=2e-3)
+    rng = np.random.RandomState(0)
+    for _ in range(3):
+        mel = torch.tensor(rng.randn(1, 80, 12).astype(np.float32))
+        target = torch.tensor(rng.randn(1, 1, 12 * 384).astype(np.float32))
+        wave, _, _ = ref(mel)
+        loss = torch.nn.functional.l1_loss(wave, target)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+    ref.eval()
+
+    # sanity: training actually moved the weight-norm magnitudes
+    g = ref.state_dict()["input_conv.weight_g"]
+    assert float((g - g.mean()).abs().max()) > 0  # not still at init constant
+
+    from toucan_tpu.compat.torch_vocoder import convert_hifigan
+    from toucan_tpu.models.vocoders import HiFiGANGenerator
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    mel = rng.randn(1, 20, 80).astype(np.float32)
+    with torch.no_grad():
+        expect = ref(torch.tensor(mel.transpose(0, 2, 1)))[0].numpy()[:, 0, :]
+    model = HiFiGANGenerator()
+    variables = jax.tree.map(jnp.asarray, convert_hifigan(sd))
+    got = np.asarray(model.apply(variables, jnp.asarray(mel),
+                                 return_intermediates=True)[0])[..., 0]
+    np.testing.assert_allclose(got, expect, atol=5e-5, rtol=1e-4)
+
+
+def test_toucan_tts_conversion_after_training_steps():
+    """BatchNorm running stats (postnet), glow ActNorm data-dependent init,
+    and WN weight-norm all move under real steps; conversion must track."""
+    import torch
+
+    ref_mod = import_reference_module(
+        "TrainingInterfaces.Text_to_Spectrogram.ToucanTTS.ToucanTTS")
+    torch.manual_seed(0)
+    ref = ref_mod.ToucanTTS(encoder_layers=1, decoder_layers=1,
+                            pitch_predictor_layers=1)
+    opt = torch.optim.Adam(ref.parameters(), lr=1e-4)
+    rng = np.random.RandomState(0)
+    b, tmax = 2, 6
+    for step in range(3):
+        durations = torch.tensor(rng.randint(1, 4, size=(b, tmax)))
+        lmax = int(durations.sum(1).max())
+        text = torch.tensor((rng.rand(b, tmax, 62) > 0.5).astype(np.float32))
+        gold = torch.tensor(rng.randn(b, lmax, 80).astype(np.float32))
+        utt = torch.tensor(rng.randn(b, 64).astype(np.float32))
+        losses = ref(text, torch.full((b,), tmax), gold,
+                     durations.sum(1), durations,
+                     torch.tensor(rng.randn(b, tmax, 1).astype(np.float32)),
+                     torch.tensor(rng.randn(b, tmax, 1).astype(np.float32)),
+                     utterance_embedding=utt,
+                     lang_ids=torch.tensor([[3]] * b),
+                     run_glow=True)
+        loss = sum(l for l in losses if l is not None and torch.isfinite(l))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+    ref.eval()
+
+    from toucan_tpu.compat.torch_toucan import convert_toucan_tts
+    from toucan_tpu.models import ToucanTTS, ToucanTTSConfig
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    config = ToucanTTSConfig(enc_layers=1, dec_layers=1, pitch_layers=1)
+    variables = jax.tree.map(jnp.asarray, convert_toucan_tts(
+        sd, enc_layers=1, dec_layers=1, pitch_layers=1))
+    model = ToucanTTS(config)
+
+    # gold-prosody path: predicted durations round() near boundaries after
+    # training, so frame counts could flip on rounding noise; the gold path
+    # (the cloning path) is the deterministic parity target
+    t = 5
+    text = (rng.rand(1, t, 62) > 0.5).astype(np.float32)
+    durations = rng.randint(2, 5, size=(1, t)).astype(np.int64)
+    pitch = rng.randn(1, t, 1).astype(np.float32)
+    energy = rng.randn(1, t, 1).astype(np.float32)
+    inf_mod = import_reference_module(
+        "InferenceInterfaces.InferenceArchitectures.InferenceToucanTTS")
+    inf_ref = inf_mod.ToucanTTS(encoder_layers=1, decoder_layers=1,
+                                pitch_predictor_layers=1,
+                                weights=ref.state_dict())
+    with torch.no_grad():
+        outs_ref = inf_ref._forward(
+            torch.tensor(text), torch.tensor([t]),
+            utterance_embedding=torch.zeros(1, 64),
+            lang_ids=torch.tensor([[3]]),
+            gold_durations=torch.tensor(durations),
+            gold_pitch=torch.tensor(pitch), gold_energy=torch.tensor(energy))
+        r_before = outs_ref[0]
+    # the reference zeroes durations of word-boundary-looking tokens
+    # (linguistic fixes), so use the durations it actually applied
+    frames = int(outs_ref[2].sum())
+    outs = model.apply(variables, jnp.asarray(text), jnp.asarray([t]),
+                       frames + 2 + frames % 2,
+                       utterance_embedding=jnp.zeros((1, 64)),
+                       lang_ids=jnp.asarray([[3]]),
+                       gold_durations=jnp.asarray(durations),
+                       gold_pitch=jnp.asarray(pitch),
+                       gold_energy=jnp.asarray(energy),
+                       run_glow=False, method=ToucanTTS.infer)
+    np.testing.assert_allclose(np.asarray(outs[0])[0, :frames],
+                               np.asarray(r_before)[:frames], atol=5e-4,
+                               rtol=1e-3)
+
+
+def test_aligner_conversion_after_training_steps():
+    """Aligner BatchNorm running stats move under training; converted
+    logits must still match in eval mode."""
+    import torch
+
+    ref_mod = import_reference_module(
+        "TrainingInterfaces.Text_to_Spectrogram.AutoAligner.Aligner")
+    torch.manual_seed(0)
+    ref = ref_mod.Aligner()
+    opt = torch.optim.RAdam(ref.parameters(), lr=1e-4)
+    rng = np.random.RandomState(1)
+    for _ in range(3):
+        mel = torch.tensor(rng.randn(2, 50, 80).astype(np.float32))
+        tokens = torch.tensor(rng.randint(0, 140, size=(2, 7)))
+        pred = ref(mel)
+        loss = ref.ctc_loss(pred.transpose(0, 1).log_softmax(2), tokens,
+                            torch.full((2,), 50), torch.full((2,), 7))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+    ref.eval()
+
+    bn_mean = ref.state_dict()["convs.0.bnorm.running_mean"]
+    assert float(bn_mean.abs().max()) > 1e-3  # stats actually moved
+
+    from toucan_tpu.compat.torch_aligner import convert_aligner
+    from toucan_tpu.models.aligner import Aligner
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    mel = rng.randn(30, 80).astype(np.float32)
+    with torch.no_grad():
+        expect = ref(torch.tensor(mel)[None])[0].numpy()
+    model = Aligner()
+    variables = jax.tree.map(jnp.asarray, convert_aligner(sd))
+    got = np.asarray(model.apply(variables, jnp.asarray(mel[None])))[0]
+    np.testing.assert_allclose(got, expect, atol=1e-4, rtol=1e-3)
+
+
+def test_gst_conversion_after_training_steps():
+    """GST reference-encoder BatchNorm stats move under training."""
+    import torch
+
+    ref_mod = import_reference_module(
+        "TrainingInterfaces.Spectrogram_to_Embedding.StyleEmbedding")
+    torch.manual_seed(0)
+    ref = ref_mod.StyleEmbedding()
+    opt = torch.optim.Adam(ref.parameters(), lr=1e-3)
+    rng = np.random.RandomState(2)
+    for _ in range(3):
+        spec = torch.tensor(rng.randn(2, 60, 80).astype(np.float32))
+        emb = ref(spec, torch.full((2,), 60))
+        loss = (emb ** 2).mean()
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+    ref.eval()
+
+    from toucan_tpu.compat.torch_gst import convert_style_embedding
+    from toucan_tpu.models.gst import StyleEmbedding
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    spec = rng.randn(1, 40, 80).astype(np.float32)
+    with torch.no_grad():
+        expect = ref(torch.tensor(spec), torch.tensor([40])).numpy()
+    model = StyleEmbedding()
+    variables = jax.tree.map(jnp.asarray, convert_style_embedding(sd))
+    got = np.asarray(model.apply(variables, jnp.asarray(spec),
+                                 jnp.asarray([40])))
+    np.testing.assert_allclose(got, expect, atol=2e-5, rtol=1e-4)
