@@ -351,6 +351,9 @@ def main():
 
                 f32_model = HiFiGANGenerator()
                 mel32 = mel.astype(jnp.float32)
+                vars32 = jax.tree.map(
+                    lambda a: a.astype(jnp.float32)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a, variables)
                 scales = calibrate_act_scales(f32_model, variables, mel32[:1])
                 scales = {k: jnp.asarray(v) for k, v in scales.items()}
                 q_model = HiFiGANGenerator(dtype=dtype, stage_mode="int8")
@@ -360,7 +363,7 @@ def main():
                 result["extra"]["vocoder_int8_audio_s_per_s"] = round(
                     audio_seconds / sec_q, 1)
                 # quality: int8 vs exact f32 on the same mel
-                w_ref = jax.jit(f32_model.apply)(variables, mel32[:1])
+                w_ref = jax.jit(f32_model.apply)(vars32, mel32[:1])
                 w_q = jax.jit(lambda v, m: q_model.apply(
                     v, m, act_scales=scales))(variables, mel32[:1])
                 result["extra"]["vocoder_int8_max_abs_err_vs_f32"] = float(

@@ -64,7 +64,8 @@ def test_f32_mode_matches_xla_folded_path(fold, c):
                                atol=2e-5, rtol=1e-4)
 
 
-def test_f32_mode_taps_concat_variant():
+@pytest.mark.parametrize("pack", ["concat", "scratch"])
+def test_f32_mode_tap_pack_variants(pack):
     rng = np.random.RandomState(1)
     kernel_sizes, dilations = (3, 7), (1, 3)
     params = _make_params(rng, 64, kernel_sizes, dilations)
@@ -72,7 +73,7 @@ def test_f32_mode_taps_concat_variant():
     expect = _xla_reference(x, params, 2, kernel_sizes, dilations)
     got = fused_stage_resstacks(x, params, 2, kernel_sizes, dilations,
                                 tile=64, mode="f32", stream_dtype=jnp.float32,
-                                taps_concat=True, interpret=True)
+                                tap_pack=pack, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
                                atol=2e-5, rtol=1e-4)
 
@@ -170,3 +171,27 @@ def test_generator_int8_serving_mode():
     snr = 10 * np.log10((expect ** 2).mean()
                         / ((got - expect) ** 2).mean() + 1e-12)
     assert snr > 20, snr
+
+
+def test_calibrate_with_bf16_serving_params():
+    """Serving checkpoints hold bf16 params (the generator stores params in
+    its compute dtype); calibration must still run its exact pass in f32
+    (folded_conv calls lax.conv directly, which rejects mixed dtypes)."""
+    from toucan_tpu.models.vocoders import HiFiGANGenerator
+    from toucan_tpu.models.vocoders.hifigan import calibrate_act_scales
+
+    rng = jax.random.PRNGKey(2)
+    bf16 = HiFiGANGenerator(channels=256, dtype=jnp.bfloat16)
+    mel = jax.random.normal(rng, (1, 32, 80), jnp.bfloat16)
+    variables = bf16.init(rng, mel)
+    assert variables["params"]["upsample_0_kernel"].dtype == jnp.bfloat16
+
+    scales = calibrate_act_scales(HiFiGANGenerator(channels=256), variables,
+                                  mel.astype(jnp.float32))
+    assert set(scales) == {0, 1, 2, 3}
+    assert all(np.isfinite(np.asarray(v)).all() and (np.asarray(v) > 0).all()
+               for v in scales.values())
+
+    q = bf16.clone(stage_mode="int8", stage_tile=64)
+    wave = np.asarray(q.apply(variables, mel, act_scales=scales), np.float32)
+    assert np.isfinite(wave).all() and np.abs(wave).max() <= 1.0

@@ -44,6 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from toucan_tpu.kernels.folded_conv import (
+    _fold_conv_index_map,
     fold_conv_kernel,
     folded_conv,
     folded_conv_padding,
@@ -54,13 +55,28 @@ def _round_up(n, m):
     return (n + m - 1) // m * m
 
 
+def _selective_taps(k: int, fold: int, dilation: int):
+    """Row offsets (relative to the dense folded kernel's first tap) whose
+    folded weight block is structurally nonzero.
+
+    The dense block-Toeplitz kernel materializes dilation zeros — e.g. a
+    fold=1 d=5 k=11 conv becomes 51 dense taps of which only 11 carry
+    weight.  Skipping the zero taps is exact and cuts the kernel's matmul
+    FLOPs by 1.9x (fold=1) to 1.5-2.2x (fold 2/4) at these geometries.
+    """
+    idx = _fold_conv_index_map(k, fold, dilation)  # (kp, f, f); k = no tap
+    mask = (idx != k).any(axis=(1, 2))
+    return tuple(int(j) for j in np.nonzero(mask)[0])
+
+
 def stage_meta(kernel_sizes: Sequence[int], dilations: Sequence[int],
                fold: int):
     """Static per-conv geometry, in execution order (per stack: conv1
     dilated / conv2 plain per dilation round).
 
-    Returns ``convs``: list over stacks of lists of (lo, kp); ``halo``: rows
-    of one-sided recompute margin so the central tile rows of a stack output
+    Returns ``convs``: list over stacks of lists of (lo, offsets) with
+    ``offsets`` the structurally-nonzero tap rows; ``halo``: rows of
+    one-sided recompute margin so the central tile rows of a stack output
     are exact; ``m_lo``/``m_hi``: scratch margins covering every tap shift.
     """
     convs = []
@@ -72,8 +88,7 @@ def stage_meta(kernel_sizes: Sequence[int], dilations: Sequence[int],
         for d in dilations:
             for dd in (d, 1):
                 lo, hi = folded_conv_padding(k, fold, dd)
-                kp = lo + hi + 1
-                stack.append((lo, kp))
+                stack.append((lo, _selective_taps(k, fold, dd)))
                 shrink += max(lo, hi)
                 m_lo = max(m_lo, lo)
                 m_hi = max(m_hi, hi)
@@ -124,7 +139,7 @@ def calibrate_stage_scales(x_folded, stack_params, fold: int,
 # ---------------------------------------------------------------------------
 
 def _stage_kernel(x_ref, *refs, tile, halo, m_lo, m_hi, convs, slope, seq_len,
-                  lanes, mode, taps_concat):
+                  lanes, mode, tap_pack):
     n_convs = sum(len(s) for s in convs)
     w_refs = refs[0:3 * n_convs:3]
     s_refs = refs[1:3 * n_convs:3]
@@ -132,7 +147,8 @@ def _stage_kernel(x_ref, *refs, tile, halo, m_lo, m_hi, convs, slope, seq_len,
     out_ref = refs[3 * n_convs]
     x_in = refs[3 * n_convs + 1]     # (width, L) stream scratch
     q_buf = refs[3 * n_convs + 2]    # (m_lo + width + m_hi, L) quant scratch
-    sem = refs[3 * n_convs + 3]
+    im2col = refs[3 * n_convs + 3] if tap_pack == "scratch" else None
+    sem = refs[3 * n_convs + 3 + (tap_pack == "scratch")]
 
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -164,19 +180,37 @@ def _stage_kernel(x_ref, *refs, tile, halo, m_lo, m_hi, convs, slope, seq_len,
         q_buf[m_lo:m_lo + width, :] = q
 
     def conv(ci):
-        """Σ_j q_buf[shift j] @ W[j] with static sublane-offset reads."""
-        lo, kp = ci_meta[ci]
-        if taps_concat:
+        """Σ_j q_buf[shift j] @ W[j] with static sublane-offset reads over
+        the structurally-nonzero taps only.
+
+        tap_pack: "tap" = one matmul per tap + int32/f32 VPU accumulation
+        (accumulation dominates at many taps); "scratch" = copy tap slices
+        into lane-aligned column blocks of an im2col scratch, then ONE
+        deep-contraction matmul per conv — accumulation happens inside the
+        MXU and the VPU only pays int8 copies; "concat" = value-level
+        concat along lanes (Mosaic-lowering dependent).
+        """
+        lo, offsets = ci_meta[ci]
+        n = len(offsets)
+        if tap_pack == "scratch":
+            for i, j in enumerate(offsets):
+                im2col[:, i * lanes:(i + 1) * lanes] = (
+                    q_buf[m_lo - lo + j:m_lo - lo + j + width, :])
+            wm = w_refs[ci][:].reshape(n * lanes, lanes)
+            return jax.lax.dot_general(
+                im2col[:, :n * lanes], wm, (((1,), (0,)), ((), ())),
+                preferred_element_type=acc_dtype)
+        if tap_pack == "concat":
             xm = jnp.concatenate(
                 [q_buf[m_lo - lo + j:m_lo - lo + j + width, :]
-                 for j in range(kp)], axis=1)
-            wm = w_refs[ci][:].reshape(kp * lanes, lanes)
+                 for j in offsets], axis=1)
+            wm = w_refs[ci][:].reshape(n * lanes, lanes)
             return jax.lax.dot_general(xm, wm, (((1,), (0,)), ((), ())),
                                        preferred_element_type=acc_dtype)
         acc = None
-        for j in range(kp):
+        for i, j in enumerate(offsets):
             xj = q_buf[m_lo - lo + j:m_lo - lo + j + width, :]
-            y = jax.lax.dot_general(xj, w_refs[ci][j],
+            y = jax.lax.dot_general(xj, w_refs[ci][i],
                                     (((1,), (0,)), ((), ())),
                                     preferred_element_type=acc_dtype)
             acc = y if acc is None else acc + y
@@ -218,7 +252,7 @@ def fused_stage_resstacks(x_folded: jnp.ndarray, stack_params: Sequence,
                           dilations=(1, 3, 5), act_scales=None,
                           tile: int = 512, slope: float = 0.1,
                           mode: str = "int8", stream_dtype=jnp.bfloat16,
-                          taps_concat: bool = False,
+                          tap_pack: str = "tap",
                           interpret: bool = False):
     """Whole vocoder stage (3 residual stacks, 18 convs) in one VMEM pass.
 
@@ -248,8 +282,10 @@ def fused_stage_resstacks(x_folded: jnp.ndarray, stack_params: Sequence,
     for stack_i, k in enumerate(kernel_sizes):
         for dil_i, d in enumerate(dilations):
             w1, b1, w2, b2 = stack_params[stack_i][dil_i]
-            wt1 = fold_conv_kernel(jnp.asarray(w1, jnp.float32), fold, d)
-            wt2 = fold_conv_kernel(jnp.asarray(w2, jnp.float32), fold, 1)
+            sel1 = np.asarray(_selective_taps(k, fold, d))
+            sel2 = np.asarray(_selective_taps(k, fold, 1))
+            wt1 = fold_conv_kernel(jnp.asarray(w1, jnp.float32), fold, d)[sel1]
+            wt2 = fold_conv_kernel(jnp.asarray(w2, jnp.float32), fold, 1)[sel2]
             bias1 = jnp.tile(jnp.asarray(b1, jnp.float32), fold)
             bias2 = jnp.tile(jnp.asarray(b2, jnp.float32), fold)
             if mode == "int8":
@@ -291,24 +327,28 @@ def fused_stage_resstacks(x_folded: jnp.ndarray, stack_params: Sequence,
     kernel = functools.partial(
         _stage_kernel, tile=tile, halo=halo, m_lo=m_lo, m_hi=m_hi,
         convs=convs, slope=slope, seq_len=t, lanes=lanes, mode=mode,
-        taps_concat=taps_concat)
+        tap_pack=tap_pack)
 
     grid = (b, t_pad // tile)
     in_specs = ([pl.BlockSpec(memory_space=pl.ANY)]
                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 * n_convs))
     out_spec = pl.BlockSpec((1, tile, lanes), lambda bb, tt: (bb, tt, 0),
                             memory_space=pltpu.VMEM)
+    scratch_shapes = [
+        pltpu.VMEM((width, lanes), stream_dtype),
+        pltpu.VMEM((m_lo + width + m_hi, lanes), q_dtype),
+    ]
+    if tap_pack == "scratch":
+        n_max = max(len(offs) for stack in convs for _, offs in stack)
+        scratch_shapes.append(pltpu.VMEM((width, n_max * lanes), q_dtype))
+    scratch_shapes.append(pltpu.SemaphoreType.DMA(()))
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, t_pad, lanes), x_folded.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((width, lanes), stream_dtype),
-            pltpu.VMEM((m_lo + width + m_hi, lanes), q_dtype),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(x_padded, *flat_inputs)
     return out[:, :t]

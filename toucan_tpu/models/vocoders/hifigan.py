@@ -147,6 +147,11 @@ def calibrate_act_scales(model: "HiFiGANGenerator", variables, mel):
 
     from toucan_tpu.kernels.pallas_stage import calibrate_stage_scales
 
+    # serving checkpoints may hold bf16 params; the exact calibration pass
+    # runs in f32 (folded_conv calls lax.conv directly, no dtype promotion)
+    variables = jax.tree.map(
+        lambda a: a.astype(jnp.float32)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, variables)
     capture = model.clone(stage_mode="", sow_stage_inputs=True)
     _, state = capture.apply(variables, jnp.asarray(mel, jnp.float32),
                              mutable=["intermediates"])
@@ -195,6 +200,8 @@ class HiFiGANGenerator(nn.Module):
     # calibrate_act_scales) | "bf16" | "f32" (exact)
     stage_mode: str = ""
     stage_tile: int = 512
+    stage_indices: Tuple[int, ...] = (0, 1, 2, 3)  # stages the kernel covers
+    stage_tap_pack: str = "tap"  # "tap" | "scratch" (im2col, MXU accum) | "concat"
     sow_stage_inputs: bool = False  # sow folded stage inputs (calibration)
     skip_stages: Tuple[int, ...] = ()  # benchmarking aid: skip resblocks
     dtype: jnp.dtype = jnp.float32
@@ -229,7 +236,8 @@ class HiFiGANGenerator(nn.Module):
                                                    self.resblock_dilations)):
                     _StackParams(ch, rk, dils, dtype=self.dtype,
                                  name=f"block_{i}_{j}")()
-            elif self.stage_mode and fold * ch in (128, 256):
+            elif (self.stage_mode and fold * ch in (128, 256)
+                  and i in self.stage_indices):
                 from toucan_tpu.kernels.pallas_stage import fused_stage_resstacks
                 import jax as _jax
                 stack_params = [
@@ -248,6 +256,7 @@ class HiFiGANGenerator(nn.Module):
                     act_scales=None if act_scales is None else act_scales[i],
                     tile=self.stage_tile, slope=self.slope,
                     mode=self.stage_mode, stream_dtype=stream,
+                    tap_pack=self.stage_tap_pack,
                     interpret=_jax.devices()[0].platform == "cpu")
                 x = unfold_time(fused, fold) if fold > 1 else fused
             elif self.imcol_mode and ch <= 128 and i in self.imcol_stages:
