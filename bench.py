@@ -380,11 +380,24 @@ def main():
                 result["extra"].update(errs)
         except Exception as exc:
             result["extra"]["parity_error"] = str(exc)[:200]
-        if os.environ.get("TOUCAN_BENCH_TRAIN", "0") == "1":
+        # training anchors are default-ON (VERDICT r02 #6: r02 silently lost
+        # them because this was opt-in); disable with TOUCAN_BENCH_TRAIN=0
+        if os.environ.get("TOUCAN_BENCH_TRAIN", "1") == "1":
             try:
                 result["extra"].update(_train_steps_per_s(on_tpu, dtype))
             except Exception as exc:
                 result["extra"]["train_error"] = str(exc)[:200]
+        if on_tpu and os.environ.get("TOUCAN_BENCH_SCALING", "1") == "1":
+            # 1-chip scaling anchor: the fixed-geometry number the >=85%%-at-
+            # 2-hosts target (BASELINE.md) is measured against when a pod
+            # slice appears.  Same harness the sweep mode uses.
+            try:
+                from toucan_tpu.dist.scaling_bench import measure
+
+                result["extra"]["scaling_bench_1chip"] = measure(
+                    n_data=1, n_model=1, batch_per_device=8)
+            except Exception as exc:
+                result["extra"]["scaling_bench_error"] = str(exc)[:200]
     print(json.dumps(result))
 
 

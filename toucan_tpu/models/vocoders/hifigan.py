@@ -152,7 +152,11 @@ def calibrate_act_scales(model: "HiFiGANGenerator", variables, mel):
     variables = jax.tree.map(
         lambda a: a.astype(jnp.float32)
         if jnp.issubdtype(a.dtype, jnp.floating) else a, variables)
-    capture = model.clone(stage_mode="", sow_stage_inputs=True)
+    # ... and the module compute dtype must be f32 too: a bf16-dtype serving
+    # generator would otherwise feed bf16 activations into the f32-cast params
+    # inside folded_conv_transpose (mixed-dtype lax.conv error)
+    capture = model.clone(stage_mode="", sow_stage_inputs=True,
+                          dtype=jnp.float32)
     _, state = capture.apply(variables, jnp.asarray(mel, jnp.float32),
                              mutable=["intermediates"])
     inter = state["intermediates"]
