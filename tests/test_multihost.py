@@ -65,6 +65,34 @@ state, history = train_loop(
     mesh=mesh, steps_per_checkpoint=2, log_every=1)
 assert history and np.isfinite(history[-1]["total_loss"])
 print("MULTIHOST_OK", pid, history[-1]["total_loss"])
+
+# vocoder-GAN step across the same 2-process mesh (VERDICT r02 #2: the
+# reference's largest training workload, hifigan_train_loop.py, data-parallel)
+from toucan_tpu.models.vocoders import HiFiGANGenerator
+from toucan_tpu.models.vocoders.discriminators import AvocodoJointDiscriminator
+from toucan_tpu.train.vocoder_train import (create_vocoder_train_state,
+                                            make_sharded_vocoder_steps)
+from toucan_tpu.dist import make_global_batch
+
+gen = HiFiGANGenerator(channels=32)
+disc = AvocodoJointDiscriminator(channel_scale=0.05)
+v_state, v_opts = create_vocoder_train_state(jax.random.PRNGKey(0),
+                                             generator=gen, discriminator=disc,
+                                             segment_frames=8)
+warm_step, adv_step, v_sh = make_sharded_vocoder_steps(
+    v_state, v_opts, mesh, generator=gen, discriminator=disc)
+v_state = jax.device_put(v_state, v_sh)
+# each host contributes its local half of the global batch of 4
+local = np.random.RandomState(100 + pid)
+v_batch = make_global_batch(dict(
+    gold_wave=local.randn(2, 8 * 384, 1).astype(np.float32) * 0.1,
+    mel=local.randn(2, 8, 80).astype(np.float32)), mesh)
+v_state, v_metrics = adv_step(v_state, v_batch, True)
+g_loss = float(v_metrics["generator_total"])
+d_loss = float(v_metrics["discriminator_loss"])
+assert np.isfinite(g_loss) and np.isfinite(d_loss)
+assert int(v_state.step) == 1
+print("MULTIHOST_VOCODER_OK", pid, g_loss)
 """
 
 
@@ -101,9 +129,11 @@ def test_two_process_train_step(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
         assert f"MULTIHOST_OK {pid}" in out, out[-4000:]
-    # both hosts computed the same global loss
-    loss0 = [l for l in outs[0].splitlines() if "MULTIHOST_OK" in l][0].split()[-1]
-    loss1 = [l for l in outs[1].splitlines() if "MULTIHOST_OK" in l][0].split()[-1]
-    assert abs(float(loss0) - float(loss1)) < 1e-5
+        assert f"MULTIHOST_VOCODER_OK {pid}" in out, out[-4000:]
+    # both hosts computed the same global losses (acoustic + vocoder GAN)
+    for tag in ("MULTIHOST_OK", "MULTIHOST_VOCODER_OK"):
+        loss0 = [l for l in outs[0].splitlines() if tag in l][0].split()[-1]
+        loss1 = [l for l in outs[1].splitlines() if tag in l][0].split()[-1]
+        assert abs(float(loss0) - float(loss1)) < 1e-5
     # the sharded checkpoint landed on disk
     assert os.path.isdir(out_dir) and len(os.listdir(out_dir)) > 0

@@ -176,6 +176,131 @@ def test_aligner_conversion_after_training_steps():
     np.testing.assert_allclose(got, expect, atol=1e-4, rtol=1e-3)
 
 
+def test_interface_from_torch_end_to_end(tmp_path):
+    """VERDICT r02 #7: the full ``interface_from_torch`` glue — 3-way config
+    sniff -> TTS + GST + vocoder conversion -> text -> waveform — against
+    the torch reference pipeline with briefly-TRAINED checkpoints in the
+    release file formats.  One waveform comparison covers every conversion
+    plus the interface's padding/trimming/e2e-fusion logic at once."""
+    import torch
+
+    rng = np.random.RandomState(4)
+
+    # --- briefly-trained torch TTS (small) saved as the release format
+    tts_mod = import_reference_module(
+        "TrainingInterfaces.Text_to_Spectrogram.ToucanTTS.ToucanTTS")
+    torch.manual_seed(0)
+    tts_ref = tts_mod.ToucanTTS(encoder_layers=1, decoder_layers=1,
+                                pitch_predictor_layers=1)
+    opt = torch.optim.Adam(tts_ref.parameters(), lr=1e-4)
+    b, tmax = 2, 6
+    for _ in range(2):
+        durations = torch.tensor(rng.randint(1, 4, size=(b, tmax)))
+        lmax = int(durations.sum(1).max())
+        losses = tts_ref(
+            torch.tensor((rng.rand(b, tmax, 62) > 0.5).astype(np.float32)),
+            torch.full((b,), tmax),
+            torch.tensor(rng.randn(b, lmax, 80).astype(np.float32)),
+            durations.sum(1), durations,
+            torch.tensor(rng.randn(b, tmax, 1).astype(np.float32)),
+            torch.tensor(rng.randn(b, tmax, 1).astype(np.float32)),
+            utterance_embedding=torch.tensor(rng.randn(b, 64).astype(np.float32)),
+            lang_ids=torch.tensor([[3]] * b), run_glow=True)
+        loss = sum(l for l in losses if l is not None and torch.isfinite(l))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+    tts_ref.eval()
+    default_emb = torch.tensor(rng.randn(64).astype(np.float32))
+    tts_path = str(tmp_path / "tts_best.pt")
+    torch.save({"model": tts_ref.state_dict(), "default_emb": default_emb},
+               tts_path)
+
+    # --- briefly-trained torch HiFiGAN saved as {"generator": ...}
+    voc_mod = import_reference_module(
+        "TrainingInterfaces.Spectrogram_to_Wave.HiFiGAN.HiFiGAN")
+    torch.manual_seed(1)
+    voc_ref = voc_mod.HiFiGANGenerator()
+    vopt = torch.optim.Adam(voc_ref.parameters(), lr=2e-3)
+    for _ in range(2):
+        wave, _, _ = voc_ref(torch.tensor(rng.randn(1, 80, 12).astype(np.float32)))
+        loss = torch.nn.functional.l1_loss(
+            wave, torch.tensor(rng.randn(1, 1, 12 * 384).astype(np.float32)))
+        vopt.zero_grad()
+        loss.backward()
+        vopt.step()
+    voc_ref.eval()
+    voc_path = str(tmp_path / "vocoder_best.pt")
+    torch.save({"generator": voc_ref.state_dict()}, voc_path)
+
+    # --- briefly-trained torch StyleEmbedding saved as the release format
+    gst_mod = import_reference_module(
+        "TrainingInterfaces.Spectrogram_to_Embedding.StyleEmbedding")
+    torch.manual_seed(2)
+    gst_ref = gst_mod.StyleEmbedding()
+    gopt = torch.optim.Adam(gst_ref.parameters(), lr=1e-3)
+    for _ in range(2):
+        emb = gst_ref(torch.tensor(rng.randn(2, 60, 80).astype(np.float32)),
+                      torch.full((2,), 60))
+        loss = (emb ** 2).mean()
+        gopt.zero_grad()
+        loss.backward()
+        gopt.step()
+    gst_ref.eval()
+    emb_path = str(tmp_path / "embedding_function.pt")
+    torch.save({"style_emb_func": gst_ref.state_dict()}, emb_path)
+
+    # --- our side: the one-call migration path
+    from toucan_tpu.compat.load import interface_from_torch
+
+    iface = interface_from_torch(tts_path, voc_path, emb_path,
+                                 vocoder_kind="hifigan", language="en")
+    # config sniffing picked up the small geometry
+    assert iface.config.enc_layers == 1 and iface.config.dec_layers == 1
+    assert iface.config.pitch_layers == 1
+    assert iface.config.lang_embs is not None
+    iface.default_utterance_embedding = default_emb.numpy()
+
+    text = "Hi."
+    phones = iface.text2phone.string_to_features(text)
+    t = len(phones)
+
+    # --- torch reference pipeline on the same phone features
+    inf_mod = import_reference_module(
+        "InferenceInterfaces.InferenceArchitectures.InferenceToucanTTS")
+    inf_ref = inf_mod.ToucanTTS(encoder_layers=1, decoder_layers=1,
+                                pitch_predictor_layers=1,
+                                weights=tts_ref.state_dict())
+    from toucan_tpu.frontend.text import language_id
+    lang = language_id("en")
+    with torch.no_grad():
+        torch.manual_seed(11)
+        _, r_after, r_dur, _, _ = inf_ref._forward(
+            torch.tensor(np.asarray(phones, np.float32)[None]),
+            torch.tensor([t]),
+            utterance_embedding=default_emb[None],
+            lang_ids=torch.tensor([[lang]]))
+        ref_wave = voc_ref(torch.tensor(r_after.numpy().T[None])
+                           )[0].numpy()[0, 0]
+
+    mel_len = int(r_dur.sum())
+    torch.manual_seed(11)  # reproduce the z the reference drew
+    z = (torch.randn(1, 80, mel_len) * 0.8).numpy().transpose(0, 2, 1)[0]
+
+    wave = iface(text, glow_noise=z)
+    even_len = (mel_len // 2) * 2
+    assert len(wave) == even_len * 384 == len(ref_wave)
+    # The fused serving path vocodes a zero-masked PADDED mel (static jit
+    # shapes); with trained (nonzero-bias) vocoder weights the padded
+    # region's bias response bleeds into the final ~16 frames' receptive
+    # field, while torch vocodes the exact length.  Everything before that
+    # tail must match; the tail bound shows the bleed stays confined.
+    # (Glow-reverse couplings compound rounding, hence 5e-3 not 5e-5.)
+    tail = 16 * 384
+    np.testing.assert_allclose(wave[:-tail], ref_wave[:-tail], atol=5e-3)
+    assert float(np.abs(wave - ref_wave).mean()) < 2e-3
+
+
 def test_gst_conversion_after_training_steps():
     """GST reference-encoder BatchNorm stats move under training."""
     import torch

@@ -24,15 +24,65 @@ def _torch_load(path):
     return torch.load(path, map_location="cpu", weights_only=False)
 
 
+def _layer_count(sd, pattern) -> int:
+    """Number of indexed sub-modules matching ``pattern`` (one ``(\\d+)``
+    group), e.g. ``encoder.encoders.(\\d+).`` -> layer count."""
+    import re
+
+    rx = re.compile(pattern)
+    best = -1
+    for k in sd:
+        m = rx.match(k)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best + 1
+
+
 def sniff_toucan_config(sd) -> "ToucanTTSConfig":
-    """Detect the checkpoint variant from its keys — the reference's 3-way
-    fallback (``ToucanTTSInterface.py:56-63``): multilingual-multispeaker ->
-    multispeaker-only (``lang_embs=None``) -> single-speaker
-    (``utt_embed_dim=None`` too, plain-LayerNorm predictors)."""
+    """Detect the checkpoint architecture from its keys and shapes.
+
+    Covers the reference's 3-way fallback (``ToucanTTSInterface.py:56-63``:
+    multilingual-multispeaker -> multispeaker-only (``lang_embs=None``) ->
+    single-speaker (``utt_embed_dim=None``, plain-LayerNorm predictors))
+    plus the full layer/width geometry (conformer depth, predictor stacks,
+    glow depth), so any checkpoint size loads without hand-typed configs.
+    """
     from toucan_tpu.models.toucan_tts import ToucanTTSConfig
 
-    adim = sd["encoder.embed.0.weight"].shape[0] if "encoder.embed.0.weight" in sd \
-        else ToucanTTSConfig.adim
+    kw = {}
+    if "feat_out.weight" in sd:  # Linear(adim -> mel)
+        kw["adim"] = int(sd["feat_out.weight"].shape[1])
+        kw["mel_channels"] = int(sd["feat_out.weight"].shape[0])
+    if "encoder.encoders.0.self_attn.pos_bias_u" in sd:
+        kw["aheads"] = int(sd["encoder.encoders.0.self_attn.pos_bias_u"].shape[0])
+    for side in ("enc", "dec"):
+        prefix = "encoder" if side == "enc" else "decoder"
+        n = _layer_count(sd, rf"{prefix}\.encoders\.(\d+)\.")
+        if n:
+            kw[f"{side}_layers"] = n
+            w1 = sd[f"{prefix}.encoders.0.feed_forward.w_1.weight"]
+            kw[f"{side}_units"] = int(w1.shape[0])
+            dw = sd[f"{prefix}.encoders.0.conv_module.depthwise_conv.weight"]
+            kw[f"{side}_kernel"] = int(dw.shape[-1])
+    for pred in ("duration", "pitch", "energy"):
+        n = _layer_count(sd, rf"{pred}_predictor\.conv\.(\d+)\.")
+        if n:
+            w = sd[f"{pred}_predictor.conv.0.0.weight"]
+            kw[f"{pred}_layers"] = n
+            kw[f"{pred}_chans"] = int(w.shape[0])
+            kw[f"{pred}_kernel"] = int(w.shape[-1])
+    n_flows = _layer_count(sd, r"post_flow\.flows\.(\d+)\.")
+    kw["use_postflow"] = n_flows > 0
+    if n_flows:
+        kw["glow_blocks"] = n_flows // 3  # [ActNorm, InvConvNear, Coupling]
+        kw["glow_layers"] = _layer_count(
+            sd, r"post_flow\.flows\.2\.wn\.in_layers\.(\d+)\.")
+        wv = sd.get("post_flow.flows.2.wn.in_layers.0.weight_v",
+                    sd.get("post_flow.flows.2.wn.in_layers.0.weight"))
+        if wv is not None:
+            kw["glow_hidden"] = int(wv.shape[1])
+            kw["glow_kernel"] = int(wv.shape[-1])
+
     lang_embs = None
     if "encoder.language_embedding.weight" in sd:
         lang_embs = int(sd["encoder.language_embedding.weight"].shape[0])
@@ -46,7 +96,7 @@ def sniff_toucan_config(sd) -> "ToucanTTSConfig":
         utt_embed_dim is not None)
     return ToucanTTSConfig(lang_embs=lang_embs, utt_embed_dim=utt_embed_dim,
                            conditional_predictors=conditional and
-                           utt_embed_dim is not None)
+                           utt_embed_dim is not None, **kw)
 
 
 def load_toucan_tts(path: str, return_config: bool = False):
@@ -62,7 +112,11 @@ def load_toucan_tts(path: str, return_config: bool = False):
     sd = _to_numpy_state_dict(ckpt["model"])
     config = sniff_toucan_config(sd)
     variables = jax.tree.map(jnp.asarray, convert_toucan_tts(
-        sd, conditional=config.conditional_predictors))
+        sd, enc_layers=config.enc_layers, dec_layers=config.dec_layers,
+        duration_layers=config.duration_layers,
+        pitch_layers=config.pitch_layers, energy_layers=config.energy_layers,
+        glow_blocks=config.glow_blocks, glow_layers=config.glow_layers,
+        conditional=config.conditional_predictors))
     default_emb = ckpt.get("default_emb")
     if default_emb is not None:
         default_emb = default_emb.detach().cpu().numpy()

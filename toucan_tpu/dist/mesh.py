@@ -121,10 +121,9 @@ def _replicated_like(tree, mesh):
     return jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)
 
 
-def shard_train_state(state, mesh: Mesh):
-    """NamedShardings for a TrainState: params follow the TP rules, adam
-    moments inherit their parameter's sharding, everything else replicated."""
-    param_sh = param_sharding_rules(state.params, mesh)
+def _opt_sharding(opt_state, param_sh, mesh):
+    """Optimizer-state NamedShardings: adam/radam moments inherit their
+    parameter's sharding, every other leaf (counts, clip state) replicated."""
     replicated = NamedSharding(mesh, P())
 
     def opt_entry(entry):
@@ -132,13 +131,59 @@ def shard_train_state(state, mesh: Mesh):
             return entry._replace(count=replicated, mu=param_sh, nu=param_sh)
         return replicated  # plain leaf (e.g. schedule step counts)
 
-    opt_sh = jax.tree.map(opt_entry, state.opt_state,
-                          is_leaf=lambda x: hasattr(x, "mu"))
+    return jax.tree.map(opt_entry, opt_state,
+                        is_leaf=lambda x: hasattr(x, "mu"))
+
+
+def shard_train_state(state, mesh: Mesh):
+    """NamedShardings for a TrainState: params follow the TP rules, adam
+    moments inherit their parameter's sharding, everything else replicated."""
+    param_sh = param_sharding_rules(state.params, mesh)
+    replicated = NamedSharding(mesh, P())
     return state.replace(
         params=param_sh,
         batch_stats=_replicated_like(state.batch_stats, mesh),
         buffers=_replicated_like(state.buffers, mesh),
-        opt_state=opt_sh,
+        opt_state=_opt_sharding(state.opt_state, param_sh, mesh),
         step=replicated,
         gst_variables=_replicated_like(state.gst_variables, mesh),
+    )
+
+
+def shard_vocoder_train_state(state, mesh: Mesh):
+    """NamedShardings for a VocoderTrainState (train/vocoder_train.py).
+
+    Generator params follow the TP rules (the wide early residual stages
+    shard their channels over 'model'); discriminator params replicate (the
+    17 critics are small and their conv geometries are irregular); both
+    optimizer states inherit.  Batches shard over 'data' — the DP training
+    the reference's single-GPU vocoder loop (``hifigan_train_loop.py``)
+    never had.
+    """
+    g_sh = param_sharding_rules(state.g_params, mesh)
+    d_sh = _replicated_like(state.d_params, mesh)
+    replicated = NamedSharding(mesh, P())
+    return state.replace(
+        step=replicated,
+        g_params=g_sh,
+        g_opt_state=_opt_sharding(state.g_opt_state, g_sh, mesh),
+        d_params=d_sh,
+        d_opt_state=_opt_sharding(state.d_opt_state, d_sh, mesh),
+    )
+
+
+def shard_aligner_train_state(state, mesh: Mesh):
+    """NamedShardings for an AlignerTrainState: pure DP — both nets are
+    small (conv+BiLSTM), so params/opt replicate and the utterance batch
+    shards over 'data' (BASELINE config 5: aligner loop data-parallel)."""
+    rep_params = _replicated_like(state.asr_params, mesh)
+    rep_tts = _replicated_like(state.tts_params, mesh)
+    replicated = NamedSharding(mesh, P())
+    return state.replace(
+        step=replicated,
+        asr_params=rep_params,
+        asr_batch_stats=_replicated_like(state.asr_batch_stats, mesh),
+        asr_opt_state=_opt_sharding(state.asr_opt_state, rep_params, mesh),
+        tts_params=rep_tts,
+        tts_opt_state=_opt_sharding(state.tts_opt_state, rep_tts, mesh),
     )

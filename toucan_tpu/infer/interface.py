@@ -115,16 +115,28 @@ class ToucanTTSInterface:
         self.default_utterance_embedding = np.asarray(emb[0])
 
     def quantize_vocoder(self, calibration_mel=None, calibration_text=None):
-        """Switch the vocoder to the int8 serving mode (the v4 fused-stage
-        kernel, kernels/pallas_stage.py): calibrates per-conv activation
-        scales on a representative mel, then re-jits with
-        ``stage_mode="int8"``.  ~3x MXU rate over bf16 on the residual
-        stages at a bounded quality cost (see BENCH_NOTES.md).
+        """EXPERIMENTAL: switch the vocoder to the int8 fused-stage kernel
+        (kernels/pallas_stage.py) with PTQ activation scales calibrated on a
+        representative mel.
+
+        As measured on TPU v5e this mode is ~16% SLOWER than the default
+        XLA bf16 folded path (BENCH_NOTES.md "int8 stage-kernel campaign":
+        the chip's 2.9x int8 MXU rate cannot be realized at the vocoder's
+        conv geometry — tap packing costs more in int8 data movement than
+        the rate buys).  It is kept because the quality bound is proven
+        (3.6e-6 max-abs-err vs exact f32) and the kernel wins on hardware
+        with cheaper int8 lane handling; do NOT enable it for production
+        serving on v5e-class chips — the default bf16 path is the fast one.
 
         ``calibration_mel``: (B, T, 80) log-mel; default: one synthesized
         from ``calibration_text`` (or a built-in pangram) through the
         acoustic model, which matches serving statistics exactly.
         """
+        import warnings
+
+        warnings.warn("quantize_vocoder is experimental and measured slower "
+                      "than the default bf16 path on TPU v5e; see "
+                      "BENCH_NOTES.md", stacklevel=2)
         from toucan_tpu.models.vocoders.hifigan import (HiFiGANGenerator,
                                                         calibrate_act_scales)
 
@@ -362,7 +374,7 @@ class ToucanTTSInterface:
                  pause_duration_scaling_factor=1.0, durations=None, pitch=None,
                  energy=None, input_is_phones=False,
                  return_duration_pitch_energy=False,
-                 return_plot_as_filepath=False):
+                 return_plot_as_filepath=False, glow_noise=None):
         phones = self.text2phone.string_to_features(text, input_phonemes=input_is_phones)
         n = len(phones)
         n_pad = _round_up(n, PHONE_BUCKET)
@@ -384,8 +396,15 @@ class ToucanTTSInterface:
             out[0, :n] = x
             return jnp.asarray(out)
 
-        self.rng, noise_rng = jax.random.split(self.rng)
-        noise = jax.random.normal(noise_rng, (1, max_frames, self.config.mel_channels)) * 0.8
+        if glow_noise is None:
+            self.rng, noise_rng = jax.random.split(self.rng)
+            noise = jax.random.normal(noise_rng,
+                                      (1, max_frames, self.config.mel_channels)) * 0.8
+        else:  # injected z (deterministic synthesis / parity tests)
+            glow_noise = np.asarray(glow_noise, np.float32)
+            noise = np.zeros((1, max_frames, self.config.mel_channels), np.float32)
+            noise[0, :len(glow_noise)] = glow_noise[:max_frames]
+            noise = jnp.asarray(noise)
         lang = (jnp.asarray([[self.lang_id]], jnp.int32)
                 if self.lang_id is not None else None)
         knobs = jnp.asarray([duration_scaling_factor, pitch_variance_scale,

@@ -45,24 +45,44 @@ def _load_gst_variables():
     return variables
 
 
-def _aligner_train_fn(datapoints, steps):
+def _aligner_train_fn(datapoints, steps, mesh=None, batch_size=None,
+                      pad_to=None):
+    """Aligner fine-tune/pretrain loop.  With a mesh, the step is DP-sharded
+    over 'data' and multi-host processes each sample their 1/Nth of the
+    global batch (fixed ``pad_to`` shapes keep per-host slices consistent)."""
     import jax
     import numpy as np
     import jax.numpy as jnp
     from toucan_tpu.train.aligner_train import (create_aligner_train_state,
-                                                make_aligner_train_step)
+                                                make_aligner_train_step,
+                                                make_sharded_aligner_step)
     from toucan_tpu.data.batching import _ceil_to
     from toucan_tpu.frontend.inventory import vectors_to_ctc_ids
 
     state, opt = create_aligner_train_state(jax.random.PRNGKey(0))
-    step = jax.jit(make_aligner_train_step(opt))
-    rng = np.random.RandomState(0)
-    batch_size = min(8, len(datapoints))
+    n_proc = jax.process_count()
+    batch_size = batch_size or min(8, len(datapoints))
+    seed = 0
+    if mesh is not None:
+        step, state_sh = make_sharded_aligner_step(state, opt, mesh)
+        state = jax.device_put(state, state_sh)
+        if n_proc > 1:
+            assert batch_size % n_proc == 0
+            batch_size //= n_proc
+            seed = 7919 * jax.process_index()
+            pad_to = pad_to or (
+                _ceil_to(max(len(vectors_to_ctc_ids(np.asarray(d["text"])))
+                             for d in datapoints), 8),
+                _ceil_to(max(len(d["mel"]) for d in datapoints), 64))
+    else:
+        step = jax.jit(make_aligner_train_step(opt))
+    rng = np.random.RandomState(seed)
     for s in range(steps):
         chosen = [datapoints[i] for i in rng.choice(len(datapoints), batch_size)]
         tokens = [vectors_to_ctc_ids(np.asarray(d["text"])) for d in chosen]
-        tmax = _ceil_to(max(len(t) for t in tokens), 8)
-        lmax = _ceil_to(max(len(d["mel"]) for d in chosen), 64)
+        tmax = pad_to[0] if pad_to else _ceil_to(max(len(t) for t in tokens), 8)
+        lmax = pad_to[1] if pad_to else _ceil_to(
+            max(len(d["mel"]) for d in chosen), 64)
         batch = dict(
             mel=np.zeros((batch_size, lmax, 80), np.float32),
             mel_lengths=np.asarray([len(d["mel"]) for d in chosen], np.int32),
@@ -75,9 +95,14 @@ def _aligner_train_fn(datapoints, steps):
         for i, d in enumerate(chosen):
             batch["mel"][i, :len(d["mel"])] = d["mel"]
             batch["tokens"][i, :len(tokens[i])] = tokens[i]
-        state, _ = step(state, {k: jnp.asarray(v) for k, v in batch.items()},
-                        jax.random.PRNGKey(s))
-    return {"params": state.asr_params, "batch_stats": state.asr_batch_stats}
+        if mesh is not None:
+            from toucan_tpu.dist import make_global_batch
+            batch_dev = make_global_batch(batch, mesh)
+        else:
+            batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, _ = step(state, batch_dev, jax.random.PRNGKey(s))
+    return {"params": jax.device_get(state.asr_params),
+            "batch_stats": jax.device_get(state.asr_batch_stats)}
 
 
 def _prepare_recipe(spec, use_g2p=True):
@@ -234,7 +259,7 @@ def aligner_pipeline(resume_checkpoint=None, resume=False, finetune=False,
         lang = corpus_recipes.recipe_language(name)
         datapoints += build_aligner_cache(mapping, os.path.join("Corpora", name),
                                           lang)
-    variables = _aligner_train_fn(datapoints, steps)
+    variables = _aligner_train_fn(datapoints, steps, mesh=_mesh(n_data, n_model))
     save_dir = model_dir or os.path.join(MODELS_DIR, "Aligner")
     os.makedirs(save_dir, exist_ok=True)
     from flax import serialization
@@ -278,7 +303,8 @@ def embedding_pipeline(model_dir=None, steps=100_000, n_data=None, n_model=1,
 
 
 def _vocoder_pipeline(model_name, generator, steps=1_500_000, batch_size=18,
-                      generator_warmup=30_000, model_dir=None, seed=131714, **_):
+                      generator_warmup=30_000, model_dir=None, seed=131714,
+                      n_data=None, n_model=1, **_):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -286,6 +312,7 @@ def _vocoder_pipeline(model_name, generator, steps=1_500_000, batch_size=18,
     from toucan_tpu.data.vocoder_data import VocoderDataset
     from toucan_tpu.train import checkpointing
     from toucan_tpu.train.vocoder_train import (create_vocoder_train_state,
+                                                make_sharded_vocoder_steps,
                                                 make_vocoder_train_step)
 
     paths = []
@@ -294,26 +321,62 @@ def _vocoder_pipeline(model_name, generator, steps=1_500_000, batch_size=18,
             paths += list(corpus_recipes.build_path_to_transcript_dict(name))
         except FileNotFoundError:
             continue
+    # multi-host: every process loads its own 1/Nth of the global batch
+    # (distinct sampling seed), mirroring the acoustic loop's scheme
+    n_proc = jax.process_count()
+    local_bs = batch_size
+    if n_proc > 1:
+        assert batch_size % n_proc == 0, \
+            f"global batch {batch_size} must divide over {n_proc} processes"
+        local_bs = batch_size // n_proc
+        seed = seed + 7919 * jax.process_index()
     dataset = VocoderDataset(paths, seed=seed)
     rng = jax.random.PRNGKey(seed)
     state, opts = create_vocoder_train_state(rng, generator=generator)
-    warm_step = jax.jit(make_vocoder_train_step(opts, generator=generator,
-                                                use_adversarial=False),
-                        static_argnums=2)
-    adv_step = jax.jit(make_vocoder_train_step(opts, generator=generator,
-                                               use_adversarial=True),
-                       static_argnums=2)
+    mesh = _mesh(n_data, n_model)
+    if mesh is not None:
+        from toucan_tpu.dist import make_global_batch
+        _warm, adv_step, state_sh = make_sharded_vocoder_steps(
+            state, opts, mesh, generator=generator)
+        warm_step = lambda s, b, _u: _warm(s, b)
+        state = jax.device_put(state, state_sh)
+        to_device = lambda b: make_global_batch(b, mesh)
+    else:
+        warm_step = jax.jit(make_vocoder_train_step(opts, generator=generator,
+                                                    use_adversarial=False),
+                            static_argnums=2)
+        adv_step = jax.jit(make_vocoder_train_step(opts, generator=generator,
+                                                   use_adversarial=True),
+                           static_argnums=2)
+        to_device = lambda b: {k: jnp.asarray(v) for k, v in b.items()}
     save_dir = model_dir or os.path.join(MODELS_DIR, model_name)
-    while int(state.step) < steps:
-        batch = dataset.sample_batch(batch_size)
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        s = int(state.step)
-        if s <= generator_warmup + 100:
-            state, metrics = warm_step(state, batch, False)
-        else:
-            state, metrics = adv_step(state, batch, s % 3 == 0)
-        if s % 5000 == 0:
-            checkpointing.save_checkpoint(save_dir, state, s)
+    # wave loading/segmenting for batch N+1 overlaps step N (the reference's
+    # DataLoader-worker role); see data/prefetch.py
+    from toucan_tpu.data.prefetch import DevicePrefetcher
+
+    def sample_forever():
+        while True:
+            yield dataset.sample_batch(local_bs)
+
+    prefetcher = DevicePrefetcher(sample_forever(), to_device, depth=2)
+    try:
+        for batch in prefetcher:
+            s = int(state.step)
+            if s >= steps:
+                break
+            if s <= generator_warmup + 100:
+                state, metrics = warm_step(state, batch, False)
+            else:
+                state, metrics = adv_step(state, batch, s % 3 == 0)
+            if s % 5000 == 0:
+                if n_proc > 1:
+                    from toucan_tpu.train.sharded_checkpointing import (
+                        save_sharded_checkpoint)
+                    save_sharded_checkpoint(save_dir, state, s)
+                else:
+                    checkpointing.save_checkpoint(save_dir, state, s)
+    finally:
+        prefetcher.close()
     return state
 
 

@@ -123,3 +123,32 @@ def make_aligner_train_step(optimizer, use_reconstruction: bool = True,
         ), metrics
 
     return train_step
+
+
+def make_sharded_aligner_step(state, optimizer, mesh, **step_kwargs):
+    """Mesh-sharded aligner train step: pure DP (utterance batch over
+    'data', params replicated — BASELINE config 5's "aligner loop
+    data-parallel across a pod slice"; the reference's loop is single-GPU,
+    ``autoaligner_train_loop.py:24-148``).
+
+    Returns ``(step, state_sh)``; put the state on the mesh with
+    ``jax.device_put(state, state_sh)`` and feed batches through
+    ``dist.make_global_batch``.  BatchNorm statistics and the CTC/recon
+    means reduce over the global batch (XLA inserts the collectives), so
+    the step is numerically the single-device step at global batch size.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from toucan_tpu.dist import batch_sharding, shard_aligner_train_state
+
+    state_sh = shard_aligner_train_state(state, mesh)
+    data_sh = batch_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+    batch_keys = ["mel", "mel_lengths", "tokens", "token_lengths",
+                  "speaker_embeddings"]
+    base = make_aligner_train_step(optimizer, **step_kwargs)
+    step = jax.jit(base,
+                   in_shardings=(state_sh, {k: data_sh for k in batch_keys},
+                                 rep),
+                   out_shardings=(state_sh, rep))
+    return step, state_sh

@@ -36,7 +36,7 @@ def train_loop(datasets, gst_variables, save_directory: str,
                resume: bool = False, path_to_checkpoint: Optional[str] = None,
                fine_tune: bool = False, mesh=None, seed: int = 131714,
                steps_per_checkpoint: Optional[int] = None, log_every: int = 50,
-               callbacks=()):
+               callbacks=(), prefetch: int = 2):
     """Arbiter semantics: one dataset -> mono loop; several -> meta loop."""
     config = config or ToucanTTSConfig()
     # a dataset is a sequence of datapoint dicts; a list of datasets is meta
@@ -111,18 +111,17 @@ def train_loop(datasets, gst_variables, save_directory: str,
     step_rng = jax.random.PRNGKey(seed + 1)
     start = time.time()
     history = []
+    from toucan_tpu.data.prefetch import prefetch_to_device
     while True:
         epoch_batches = (sampler.sample_batch() for _ in range(steps_per_ckpt)) \
             if is_meta else iter(sampler)
-        for batch in epoch_batches:
+        # sampling + padding + upload of batch N+1 overlap step N (the
+        # reference's DataLoader-workers role, toucantts_train_loop.py:68-76)
+        for batch_dev in prefetch_to_device(epoch_batches, mesh=mesh,
+                                            depth=prefetch):
             step_count = int(state.step)
             run_glow = step_count > postnet_start_steps or fine_tune
             step_fn = get_step_fn(run_glow)
-            if mesh is not None:
-                from toucan_tpu.dist import make_global_batch
-                batch_dev = make_global_batch(batch, mesh)
-            else:
-                batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
             state, metrics = step_fn(state, batch_dev, step_rng)
             if step_count % log_every == 0:
                 history.append({k: float(v) for k, v in metrics.items()})

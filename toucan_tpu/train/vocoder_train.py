@@ -175,3 +175,47 @@ def make_vocoder_train_step(optimizers, generator=None, discriminator=None,
                              d_opt_state=d_opt_state), metrics
 
     return train_step
+
+
+def make_sharded_vocoder_steps(state, optimizers, mesh, generator=None,
+                               discriminator=None, **step_kwargs):
+    """Mesh-sharded GAN train steps (DP batch over 'data' + TP channel
+    sharding on the wide generator stages, dist/mesh.py::_TP_RULES).
+
+    The reference's vocoder loop is single-GPU
+    (``hifigan_train_loop.py:19-182``); this is the data-parallel variant
+    BASELINE config 5 requires.  Returns ``(warm_step, adv_step, state_sh)``:
+    ``warm_step(state, batch)`` is the mel-only warmup phase,
+    ``adv_step(state, batch, update_discriminator)`` the adversarial phase
+    (``update_discriminator`` selects between two compiled variants, exactly
+    like the reference's every-3rd-step cadence).  Put the state on the mesh
+    with ``jax.device_put(state, state_sh)`` and feed batches through
+    ``dist.make_global_batch``.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from toucan_tpu.dist import batch_sharding, shard_vocoder_train_state
+
+    state_sh = shard_vocoder_train_state(state, mesh)
+    data_sh = batch_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+    batch_sh = {"gold_wave": data_sh, "mel": data_sh}
+
+    def compile_variant(adversarial, update_disc):
+        base = make_vocoder_train_step(optimizers, generator, discriminator,
+                                       use_adversarial=adversarial,
+                                       **step_kwargs)
+        return jax.jit(lambda s, b: base(s, b, update_disc),
+                       in_shardings=(state_sh, batch_sh),
+                       out_shardings=(state_sh, rep))
+
+    warm = compile_variant(False, False)
+    adv = {False: compile_variant(True, False), True: compile_variant(True, True)}
+
+    def warm_step(state, batch):
+        return warm(state, batch)
+
+    def adv_step(state, batch, update_discriminator: bool):
+        return adv[bool(update_discriminator)](state, batch)
+
+    return warm_step, adv_step, state_sh
