@@ -212,10 +212,17 @@ class TextFrontend:
                 # espeak remains the reference-parity path when installed.
                 from toucan_tpu.frontend.g2p_en import phonemize_english
                 return phonemize_english(text)
+            from toucan_tpu.frontend.g2p_rules import (RULE_G2P_LANGUAGES,
+                                                       phonemize_rules)
+            if self.language in RULE_G2P_LANGUAGES:
+                # first-party rule transducers (frontend/g2p_rules.py) keep
+                # plain text working for the regular-orthography languages;
+                # espeak remains the reference-parity path when installed.
+                return phonemize_rules(text, self.language)
             raise RuntimeError(
-                "no G2P engine available (phonemizer/espeak-ng not installed); "
-                "the built-in fallback covers English only — pass IPA input "
-                "via phones_to_features / input_phonemes=True")
+                "no G2P engine available (phonemizer/espeak-ng not installed) "
+                f"and no built-in ruleset for {self.language!r} — pass IPA "
+                "input via phones_to_features / input_phonemes=True")
         phones = self._g2p.phonemize([text], strip=True)[0]
         if self.g2p_lang == "vi":
             for num, ipa in _VI_TONES:
