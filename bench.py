@@ -403,6 +403,16 @@ def _mel_parity_max_abs_err():
 def main():
     from toucan_tpu.models.vocoders import HiFiGANGenerator
 
+    # persistent executable cache: the heavy train-step compiles dominate
+    # bench wall time; repeat runs on the same machine reuse them
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32

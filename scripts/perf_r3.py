@@ -326,6 +326,14 @@ def cmd_winograd(args):
 
 
 def main():
+    try:
+        import os
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     p = argparse.ArgumentParser()
     p.add_argument("cmd", choices=["roofline", "convrate", "stages",
                                    "inmodel", "winograd"])
