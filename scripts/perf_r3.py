@@ -18,7 +18,11 @@ Each subcommand prints a JSON line; results feed BENCH_NOTES.md.
 import argparse
 import functools
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -155,20 +159,28 @@ def _stack_params(rng, c, kernel_sizes=(3, 7, 11), n_dil=3):
 
 def _xla_stage(x_folded, params, fold, kernel_sizes=(3, 7, 11),
                dilations=(1, 3, 5), slope=0.1):
+    """The production XLA path: plain dilated convs at fold=1 (what the
+    model's ResidualStack runs), block-Toeplitz folded convs at fold>1."""
     from toucan_tpu.kernels.folded_conv import folded_conv
 
     def lrelu(v):
         return jnp.where(v >= 0, v, slope * v)
+
+    def conv(x, w, b, d):
+        if fold == 1:
+            pad = (w.shape[0] - 1) // 2 * d
+            return jax.lax.conv_general_dilated(
+                x, w.astype(x.dtype), (1,), [(pad, pad)], rhs_dilation=(d,),
+                dimension_numbers=("NHC", "HIO", "NHC")) + b.astype(x.dtype)
+        return folded_conv(x, w.astype(x.dtype), b.astype(x.dtype), fold, d)
 
     acc = 0.0
     for si, k in enumerate(kernel_sizes):
         xb = x_folded
         for di, d in enumerate(dilations):
             w1, b1, w2, b2 = params[si][di]
-            h = folded_conv(lrelu(xb), w1.astype(x_folded.dtype),
-                            b1.astype(x_folded.dtype), fold, d)
-            xb = xb + folded_conv(lrelu(h), w2.astype(x_folded.dtype),
-                                  b2.astype(x_folded.dtype), fold, 1)
+            h = conv(lrelu(xb), w1, b1, d)
+            xb = xb + conv(lrelu(h), w2, b2, 1)
         acc = acc + xb
     return acc / len(kernel_sizes)
 
@@ -190,7 +202,7 @@ def cmd_stages(args):
         row["xla_bf16_ms"] = round(sec * 1e3, 2)
 
         for tile in (512, 1024):
-            for pack in ("tap",):
+            for pack in ("tap", "scratch", "concat"):
                 try:
                     fn = functools.partial(
                         fused_stage_resstacks, stack_params=params, fold=f,
@@ -325,6 +337,96 @@ def cmd_winograd(args):
     print(json.dumps(out))
 
 
+# ---------------------------------------------------------------------------
+# BigVGAN act-cost attribution (VERDICT r02 #5: re-profile post-poly-sin^2)
+# ---------------------------------------------------------------------------
+
+def cmd_bigvgan(args):
+    import toucan_tpu.nn.alias_free as af
+    import toucan_tpu.models.vocoders.bigvgan as bv
+    from toucan_tpu.models.vocoders import BigVGAN
+
+    rng = jax.random.PRNGKey(0)
+    batch, frames = 8, 960
+    audio_seconds = batch * frames * 256 / 16000.0
+    mel = jax.random.normal(rng, (batch, frames, 80), jnp.bfloat16)
+    model = BigVGAN(dtype=jnp.bfloat16)
+    variables = jax.jit(model.init)(rng, mel)
+    out = {}
+
+    def measure(name):
+        sec = timed(lambda m: model.apply(variables, m), mel, chain=10)
+        out[name] = {"ms": round(sec * 1e3, 1),
+                     "audio_s_per_s": round(audio_seconds / sec, 1)}
+        print(name, out[name], flush=True)
+
+    orig_folded = bv.alias_free_snake_folded
+    orig_plain = bv.alias_free_snake
+    orig_snake = af.snake_beta
+    orig_af_folded = af.alias_free_snake_folded  # not used by bigvgan directly
+
+    measure("full_default")
+
+    # (a) acts as pure identity: conv + upsample skeleton cost
+    bv.alias_free_snake_folded = lambda x, a, b, f, **kw: x
+    bv.alias_free_snake = lambda x, a, b, **kw: x
+    measure("acts_identity")
+    bv.alias_free_snake_folded = orig_folded
+    bv.alias_free_snake = orig_plain
+
+    # (b) snake -> identity inside the act (isolates the snake polynomial)
+    af.snake_beta = lambda x, a, b, logscale=True, eps=1e-9: x
+    measure("snake_identity")
+    af.snake_beta = orig_snake
+
+    # (c) folded acts without the exact edge patch (its stitch concats cost?)
+    def folded_no_edge(x_folded, alpha, beta, f, logscale=True, **kw):
+        from toucan_tpu.kernels.folded_conv import folded_conv
+        c = x_folded.shape[-1] // f
+        k0, k1, kde, kdo = (af._diag_kernel(t, c, x_folded.dtype)
+                            for t in af._phase_filters())
+        zero_b = jnp.zeros((c,), x_folded.dtype)
+        alpha_f, beta_f = jnp.tile(alpha, f), jnp.tile(beta, f)
+        even = af.snake_beta(folded_conv(x_folded, k0, zero_b, f, 1),
+                             alpha_f, beta_f, logscale)
+        odd = af.snake_beta(folded_conv(x_folded, k1, zero_b, f, 1),
+                            alpha_f, beta_f, logscale)
+        return (folded_conv(even, kde, zero_b, f, 1)
+                + folded_conv(odd, kdo, zero_b, f, 1))
+
+    bv.alias_free_snake_folded = folded_no_edge
+    measure("no_edge_patch")
+
+    # (d) batched-phase variant: ONE up conv to 2fC lanes, snake once,
+    # ONE down conv back — halves conv passes, same FLOPs
+    def folded_batched(x_folded, alpha, beta, f, logscale=True, **kw):
+        from toucan_tpu.kernels.folded_conv import folded_conv
+        fc = x_folded.shape[-1]
+        c = fc // f
+        k0, k1, kde, kdo = af._phase_filters()
+        up = jnp.concatenate([af._diag_kernel(k0, c, x_folded.dtype),
+                              af._diag_kernel(k1, c, x_folded.dtype)], axis=2)
+        dn = jnp.concatenate([af._diag_kernel(kde, c, x_folded.dtype),
+                              af._diag_kernel(kdo, c, x_folded.dtype)], axis=1)
+        # up: (kp, C, 2C) diag pair -> fold as C_out = 2C
+        zero2 = jnp.zeros((2 * c,), x_folded.dtype)
+        zero1 = jnp.zeros((c,), x_folded.dtype)
+        both = folded_conv(x_folded, up, zero2, f, 1)
+        both = af.snake_beta(both, jnp.tile(jnp.concatenate([alpha, alpha]), f),
+                             jnp.tile(jnp.concatenate([beta, beta]), f), logscale)
+        return folded_conv(both, dn, zero1, f, 1)
+
+    bv.alias_free_snake_folded = folded_batched
+    try:
+        measure("batched_phase_no_edge")
+    except Exception as exc:
+        out["batched_phase_no_edge"] = f"ERR {str(exc)[:120]}"
+        print(out["batched_phase_no_edge"], flush=True)
+    bv.alias_free_snake_folded = orig_folded
+
+    print(json.dumps(out))
+
+
 def main():
     try:
         import os
@@ -336,7 +438,7 @@ def main():
         pass
     p = argparse.ArgumentParser()
     p.add_argument("cmd", choices=["roofline", "convrate", "stages",
-                                   "inmodel", "winograd"])
+                                   "inmodel", "winograd", "bigvgan"])
     args = p.parse_args()
     globals()[f"cmd_{args.cmd}"](args)
 
