@@ -346,6 +346,11 @@ def cmd_bigvgan(args):
     import toucan_tpu.models.vocoders.bigvgan as bv
     from toucan_tpu.models.vocoders import BigVGAN
 
+    only = set(os.environ.get("BV_VARIANTS", "").split(",")) - {""}
+
+    def want(name):
+        return not only or name in only
+
     rng = jax.random.PRNGKey(0)
     batch, frames = 8, 960
     audio_seconds = batch * frames * 256 / 16000.0
@@ -355,7 +360,9 @@ def cmd_bigvgan(args):
     out = {}
 
     def measure(name):
-        sec = timed(lambda m: model.apply(variables, m), mel, chain=10)
+        if not want(name):
+            return
+        sec = timed(lambda m: model.apply(variables, m), mel, chain=6)
         out[name] = {"ms": round(sec * 1e3, 1),
                      "audio_s_per_s": round(audio_seconds / sec, 1)}
         print(name, out[name], flush=True)
