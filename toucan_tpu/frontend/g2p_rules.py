@@ -158,7 +158,6 @@ class Language:
     rules: RuleSet
     stress: Callable[[str, str], str]
     digits: Sequence[str]  # words for 0..9, read digit-by-digit
-    normalize: Optional[Callable[[str], str]] = None
 
 
 # ---------------------------------------------------------------------------
@@ -645,7 +644,6 @@ RULE_G2P_LANGUAGES = ("es", "it", "fi", "el", "hu", "pl", "nl", "de", "ru",
                       "pt", "pt-br", "fr", "vi")
 
 _WORD_RX = re.compile(r"[^\W\d_]+(?:['-][^\W\d_]+)*", re.UNICODE)
-_DIGIT_RX = re.compile(r"\d")
 
 # The inventory expresses nasality as a combining-tilde modifier on the
 # preceding vowel; decompose any precomposed codepoint a ruleset emitted.
