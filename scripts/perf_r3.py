@@ -225,7 +225,8 @@ def cmd_inmodel(args):
     from toucan_tpu.models.vocoders import HiFiGANGenerator
 
     rng = jax.random.PRNGKey(0)
-    batch, frames = 8, 960
+    batch = int(os.environ.get("INMODEL_BATCH", "8"))
+    frames = 960
     audio_seconds = batch * frames * 256 / 16000.0
     mel = jax.random.normal(rng, (batch, frames, 80), jnp.bfloat16)
     out = {}
@@ -238,15 +239,18 @@ def cmd_inmodel(args):
         print(name, out[name], flush=True)
 
     measure("default_xla_folded", HiFiGANGenerator(dtype=jnp.bfloat16))
-    for stages in [(0,), (1,), (0, 1), (2,), (3,), (2, 3), (0, 1, 2, 3)]:
-        name = "pallas_bf16_s" + "".join(map(str, stages))
-        try:
-            measure(name, HiFiGANGenerator(dtype=jnp.bfloat16,
-                                           stage_mode="bf16",
-                                           stage_indices=stages))
-        except Exception as exc:
-            out[name] = f"ERR {str(exc)[:100]}"
-            print(name, out[name], flush=True)
+    variants = os.environ.get("INMODEL_PALLAS", "")
+    if variants:
+        for stages in [(2,), (2, 3)]:
+            name = "pallas_bf16_s" + "".join(map(str, stages))
+            try:
+                measure(name, HiFiGANGenerator(dtype=jnp.bfloat16,
+                                               stage_mode="bf16",
+                                               stage_indices=stages,
+                                               stage_tile=1024))
+            except Exception as exc:
+                out[name] = f"ERR {str(exc)[:100]}"
+                print(name, out[name], flush=True)
     print(json.dumps(out))
 
 
