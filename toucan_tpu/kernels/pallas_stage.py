@@ -30,6 +30,14 @@ Stage semantics match ``ResidualStack`` (reference
 per stage); the f32 mode of this kernel is numerically equivalent to the
 XLA folded path and is what the parity tests pin down; int8 is the
 opt-in serving mode with a measured quality bound.
+
+Round-3 measurement (BENCH_NOTES.md): ``mode="bf16"`` with selective taps
+TIES the production XLA path within +-7% at every stage (one marginal
+standalone win at the C=64 stage) — per-tap MXU weight-load fill eats what
+the tap skip saves, and the bf16 "scratch"/"concat" packs lose/crash like
+their int8 counterparts.  The XLA folded graph therefore remains the
+serving default; this kernel stays the structured playground for future
+hardware where fill or lane-shuffle costs differ.
 """
 
 from __future__ import annotations
