@@ -125,6 +125,41 @@ def test_greek_stress_from_tonos():
     assert ipa.count("ˈ") == 2  # exactly the two tonos accents
 
 
+def test_mandarin_first_party_pipeline():
+    """Hanzi -> built-in readings -> pinyin parser -> IPA + tone register
+    marks -> features, with no pypinyin/dragonmapper installed (the
+    reference needs both, ``TextFrontend.py:196-207``)."""
+    from toucan_tpu.frontend.g2p_cmn import (hanzi_to_pinyin, has_hanzi,
+                                             pinyin_to_ipa)
+
+    assert has_hanzi("你好") and not has_hanzi("ni3 hao3")
+    assert hanzi_to_pinyin("这是").split() == ["zhe4", "shi4"]
+    # syllable parser: retroflexes, apical vowels, ü-series after j/q/x
+    assert pinyin_to_ipa("zhi4") == "ʈʂɨ˥˩"
+    assert pinyin_to_ipa("shi4") == "ʂɨ˥˩"
+    assert pinyin_to_ipa("ju4") == "tɕy˥˩"
+    assert pinyin_to_ipa("xue2") == "ɕɥɛ˧˥"
+    assert pinyin_to_ipa("yi1") == "i˥"
+    assert pinyin_to_ipa("hao3") == "xau˧˩˧"
+
+    fe = TextFrontend(language="cmn")
+    sent = fe.get_example_sentence("cmn")
+    phones = fe.get_phone_string(sent, for_feature_extraction=True)
+    feats = fe.phones_to_features(phones, handle_missing=False)
+    assert feats.shape[0] > 15
+    f2i = feature_index()
+    # 4th-tone contours engaged (这/是/... are falling)
+    assert feats[:, f2i["falling-tone"]].sum() > 3
+    # the mid-sentence comma became a pause
+    assert feats[1:-2, f2i["silence"]].sum() >= 1
+    # numbered-pinyin input is first-class too
+    feats2 = fe.string_to_features("ni3 hao3 shi4 jie4")
+    assert feats2.shape[0] > 5
+    # unknown hanzi raise with guidance instead of silently dropping
+    with pytest.raises(KeyError, match="pypinyin"):
+        fe.string_to_features("簟")
+
+
 def test_interface_plain_text_synthesis_spanish():
     """End-to-end: plain Spanish text through a tiny interface to audio —
     the user-visible path that used to require espeak."""

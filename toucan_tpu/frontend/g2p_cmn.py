@@ -1,0 +1,198 @@
+"""First-party Mandarin G2P: pinyin -> IPA (+ a common-hanzi reading table).
+
+The reference converts Mandarin text with pypinyin (hanzi -> numbered
+pinyin) and dragonmapper (pinyin -> IPA with tone register marks)
+(``Preprocessing/TextFrontend.py:196-207``).  Neither package exists in
+this image, so this module provides:
+
+* ``pinyin_to_ipa`` — a full standard-pinyin syllable parser (initial +
+  final + tone number) emitting the same IPA-with-register-marks format
+  dragonmapper produces (tones 1-4 -> ˥ / ˧˥ / ˧˩˧ / ˥˩, neutral bare),
+  restricted to the articulatory inventory;
+* ``hanzi_to_pinyin`` — a built-in reading table for ~250 of the most
+  common characters (enough for the reference's smoke sentence and basic
+  text); unknown characters raise with guidance (install pypinyin, or
+  input pinyin/IPA directly — both are first-class frontend inputs).
+
+pypinyin/dragonmapper remain the preferred backends when installed
+(polyphone disambiguation, full coverage); the frontend uses them first
+and falls back here.  Tone sandhi (3-3 -> 2-3, 不/一) is not modeled —
+matching pypinyin's default behavior.
+"""
+
+from __future__ import annotations
+
+import re
+
+TONE_MARKS = {"1": "˥", "2": "˧˥", "3": "˧˩˧", "4": "˥˩", "5": "", "0": ""}
+
+# ordered longest-first at match time
+_INITIALS = [
+    ("zh", "ʈʂ"), ("ch", "ʈʂʰ"), ("sh", "ʂ"),
+    ("b", "p"), ("p", "pʰ"), ("m", "m"), ("f", "f"),
+    ("d", "t"), ("t", "tʰ"), ("n", "n"), ("l", "l"),
+    ("g", "k"), ("k", "kʰ"), ("h", "x"),
+    ("j", "tɕ"), ("q", "tɕʰ"), ("x", "ɕ"),
+    ("r", "ʐ"), ("z", "ts"), ("c", "tsʰ"), ("s", "s"),
+]
+
+_FINALS = {
+    "a": "a", "o": "ɔ", "e": "ɤ", "i": "i", "u": "u", "ü": "y",
+    "ai": "ai", "ei": "ei", "ao": "au", "ou": "ou",
+    "an": "an", "en": "ən", "ang": "aŋ", "eng": "əŋ", "ong": "ʊŋ",
+    "er": "əɻ",
+    "ia": "ja", "ie": "jɛ", "iao": "jau", "iu": "jou", "ian": "jɛn",
+    "in": "in", "iang": "jaŋ", "ing": "iŋ", "iong": "jʊŋ",
+    "ua": "wa", "uo": "wɔ", "uai": "wai", "ui": "wei", "uan": "wan",
+    "un": "wən", "uang": "waŋ", "ueng": "wəŋ",
+    "üe": "ɥɛ", "üan": "ɥɛn", "ün": "yn",
+}
+
+# standalone syllables written with y/w (no initial)
+_WHOLE = {
+    "yi": "i", "ya": "ja", "ye": "jɛ", "yao": "jau", "you": "jou",
+    "yan": "jɛn", "yin": "in", "yang": "jaŋ", "ying": "iŋ", "yo": "jɔ",
+    "yong": "jʊŋ", "yu": "y", "yue": "ɥɛ", "yuan": "ɥɛn", "yun": "yn",
+    "wu": "u", "wa": "wa", "wo": "wɔ", "wai": "wai", "wei": "wei",
+    "wan": "wan", "wen": "wən", "wang": "waŋ", "weng": "wəŋ",
+}
+
+_APICAL = {"ʈʂ", "ʈʂʰ", "ʂ", "ʐ", "ts", "tsʰ", "s"}  # zhi/chi/shi/ri/zi/ci/si
+
+
+def _syllable_to_ipa(syl: str) -> str:
+    m = re.match(r"([a-züv]+)([0-5]?)$", syl)
+    if not m:
+        return syl
+    body, tone = m.groups()
+    body = body.replace("v", "ü")
+    contour = TONE_MARKS.get(tone, "")
+
+    if body in _WHOLE:
+        return _WHOLE[body] + contour
+    ini_ipa = ""
+    rest = body
+    for src, ipa in _INITIALS:
+        if body.startswith(src):
+            ini_ipa = ipa
+            rest = body[len(src):]
+            break
+    if not rest:
+        return ini_ipa + contour
+    # apical vowel: zhi/chi/shi/ri/zi/ci/si
+    if rest == "i" and ini_ipa in _APICAL:
+        return ini_ipa + "ɨ" + contour
+    # after j/q/x, written u/un/uan/ue are ü-series
+    if ini_ipa in ("tɕ", "tɕʰ", "ɕ"):
+        rest = {"u": "ü", "ue": "üe", "uan": "üan", "un": "ün"}.get(rest, rest)
+    final = _FINALS.get(rest)
+    if final is None:
+        return ini_ipa + rest + contour  # unknown rime: pass through
+    return ini_ipa + final + contour
+
+
+def pinyin_to_ipa(text: str) -> str:
+    """Numbered-pinyin text ("zhe4 shi4 ...") -> IPA with register marks,
+    dragonmapper-compatible output format."""
+    out = []
+    for token in text.split():
+        m = re.match(r"(\W*)([\w0-5]*)(\W*)$", token, re.UNICODE)
+        lead, core, trail = m.groups() if m else ("", token, "")
+        if core:
+            core = _syllable_to_ipa(core.lower())
+        out.append(lead + core + trail)
+    return " ".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Common-character reading table (most frequent hanzi + the reference's
+# smoke-sentence characters).  Single readings only — polyphones take their
+# most common reading; install pypinyin for disambiguation.
+# ---------------------------------------------------------------------------
+
+HANZI_PINYIN = {
+    "的": "de5", "一": "yi1", "是": "shi4", "不": "bu4", "了": "le5",
+    "人": "ren2", "我": "wo3", "在": "zai4", "有": "you3", "他": "ta1",
+    "这": "zhe4", "中": "zhong1", "大": "da4", "来": "lai2", "上": "shang4",
+    "国": "guo2", "个": "ge4", "到": "dao4", "说": "shuo1", "们": "men5",
+    "为": "wei4", "子": "zi3", "和": "he2", "你": "ni3", "地": "di4",
+    "出": "chu1", "道": "dao4", "也": "ye3", "时": "shi2", "年": "nian2",
+    "得": "de5", "就": "jiu4", "那": "na4", "要": "yao4", "下": "xia4",
+    "以": "yi3", "生": "sheng1", "会": "hui4", "自": "zi4", "着": "zhe5",
+    "去": "qu4", "之": "zhi1", "过": "guo4", "家": "jia1", "学": "xue2",
+    "对": "dui4", "可": "ke3", "她": "ta1", "里": "li3", "后": "hou4",
+    "小": "xiao3", "么": "me5", "心": "xin1", "多": "duo1", "天": "tian1",
+    "而": "er2", "能": "neng2", "好": "hao3", "都": "dou1", "然": "ran2",
+    "没": "mei2", "日": "ri4", "于": "yu2", "起": "qi3", "还": "hai2",
+    "发": "fa1", "成": "cheng2", "事": "shi4", "只": "zhi3", "作": "zuo4",
+    "当": "dang1", "想": "xiang3", "看": "kan4", "文": "wen2", "无": "wu2",
+    "开": "kai1", "手": "shou3", "十": "shi2", "用": "yong4", "主": "zhu3",
+    "行": "xing2", "方": "fang1", "又": "you4", "如": "ru2", "前": "qian2",
+    "所": "suo3", "本": "ben3", "见": "jian4", "经": "jing1", "头": "tou2",
+    "面": "mian4", "公": "gong1", "同": "tong2", "三": "san1", "已": "yi3",
+    "老": "lao3", "从": "cong2", "动": "dong4", "两": "liang3", "长": "chang2",
+    "知": "zhi1", "民": "min2", "样": "yang4", "现": "xian4", "分": "fen1",
+    "将": "jiang1", "外": "wai4", "但": "dan4", "身": "shen1", "些": "xie1",
+    "与": "yu3", "高": "gao1", "意": "yi4", "进": "jin4", "把": "ba3",
+    "法": "fa3", "此": "ci3", "实": "shi2", "回": "hui2", "二": "er4",
+    "理": "li3", "美": "mei3", "点": "dian3", "月": "yue4", "明": "ming2",
+    "其": "qi2", "种": "zhong3", "声": "sheng1", "全": "quan2", "工": "gong1",
+    "己": "ji3", "话": "hua4", "儿": "er2", "者": "zhe3", "向": "xiang4",
+    "情": "qing2", "部": "bu4", "正": "zheng4", "名": "ming2", "定": "ding4",
+    "女": "nü3", "问": "wen4", "力": "li4", "机": "ji1", "给": "gei3",
+    "等": "deng3", "几": "ji3", "很": "hen3", "业": "ye4", "最": "zui4",
+    "间": "jian1", "新": "xin1", "什": "shen2", "打": "da3", "便": "bian4",
+    "位": "wei4", "因": "yin1", "重": "zhong4", "被": "bei4", "走": "zou3",
+    "电": "dian4", "四": "si4", "第": "di4", "门": "men2", "相": "xiang1",
+    "次": "ci4", "东": "dong1", "政": "zheng4", "海": "hai3", "口": "kou3",
+    "使": "shi3", "教": "jiao4", "西": "xi1", "再": "zai4", "平": "ping2",
+    "真": "zhen1", "听": "ting1", "世": "shi4", "气": "qi4", "信": "xin4",
+    "北": "bei3", "少": "shao3", "关": "guan1", "并": "bing4", "内": "nei4",
+    "加": "jia1", "化": "hua4", "由": "you2", "却": "que4", "代": "dai4",
+    "军": "jun1", "产": "chan3", "入": "ru4", "先": "xian1", "山": "shan1",
+    "五": "wu3", "太": "tai4", "水": "shui3", "万": "wan4", "市": "shi4",
+    "眼": "yan3", "体": "ti3", "别": "bie2", "处": "chu4", "总": "zong3",
+    "才": "cai2", "场": "chang3", "师": "shi1", "书": "shu1", "比": "bi3",
+    "住": "zhu4", "员": "yuan2", "九": "jiu3", "笑": "xiao4", "性": "xing4",
+    "通": "tong1", "目": "mu4", "华": "hua2", "报": "bao4", "立": "li4",
+    "马": "ma3", "命": "ming4", "张": "zhang1", "活": "huo2", "难": "nan2",
+    "神": "shen2", "数": "shu4", "件": "jian4", "安": "an1", "表": "biao3",
+    "原": "yuan2", "车": "che1", "白": "bai2", "应": "ying1", "路": "lu4",
+    "期": "qi1", "叫": "jiao4", "死": "si3", "常": "chang2", "提": "ti2",
+    "感": "gan3", "金": "jin1", "何": "he2", "更": "geng4", "反": "fan3",
+    "题": "ti2", "必": "bi4", "却": "que4", "论": "lun4", "六": "liu4",
+    "七": "qi1", "八": "ba1", "百": "bai3", "千": "qian1", "零": "ling2",
+    # the reference smoke sentence (TextFrontend.py:536) + common TTS words
+    "复": "fu4", "杂": "za2", "句": "ju4", "它": "ta1", "甚": "shen4",
+    "至": "zhi4", "包": "bao1", "含": "han2", "停": "ting2", "顿": "dun4",
+    "语": "yu3", "音": "yin1", "合": "he2", "谢": "xie4", "请": "qing3",
+    "早": "zao3", "晚": "wan3", "今": "jin1", "昨": "zuo2", "呢": "ne5",
+    "吗": "ma5", "吧": "ba5", "啊": "a5", "喜": "xi3", "欢": "huan1",
+    "爱": "ai4", "风": "feng1", "雨": "yu3", "雪": "xue3", "花": "hua1",
+    "字": "zi4", "读": "du2", "写": "xie3", "听": "ting1", "讲": "jiang3",
+}
+
+_HAN_RX = re.compile(r"[一-鿿]")
+
+
+def has_hanzi(text: str) -> bool:
+    return bool(_HAN_RX.search(text))
+
+
+def hanzi_to_pinyin(text: str) -> str:
+    """Character-by-character reading via the built-in table.  Punctuation
+    passes through (the frontend's pause handling needs it); unknown hanzi
+    raise with guidance."""
+    out = []
+    for ch in text:
+        if _HAN_RX.match(ch):
+            reading = HANZI_PINYIN.get(ch)
+            if reading is None:
+                raise KeyError(
+                    f"no built-in reading for {ch!r} — install pypinyin for "
+                    "full hanzi coverage, or input pinyin "
+                    "(e.g. 'ni3 hao3') or IPA directly")
+            out.append(" " + reading + " ")
+        else:
+            out.append(ch)
+    return re.sub(r"\s+", " ", "".join(out)).strip()

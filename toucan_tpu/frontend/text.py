@@ -195,15 +195,26 @@ class TextFrontend:
         if self.language == "fr":
             return remove_french_spacing(text)
         if self.language == "cmn":
-            from pypinyin import pinyin
-            return " ".join(x[0] for x in pinyin(text))
+            try:
+                from pypinyin import pinyin
+                return " ".join(x[0] for x in pinyin(text))
+            except ImportError:
+                from toucan_tpu.frontend.g2p_cmn import (hanzi_to_pinyin,
+                                                         has_hanzi)
+                # built-in reading table for common hanzi; numbered-pinyin
+                # input passes through untouched
+                return hanzi_to_pinyin(text) if has_hanzi(text) else text
         return text
 
     def phonemize(self, text: str) -> str:
         """Raw G2P output for ``text`` (before IPA normalization)."""
         text = self._expand(text)
         if self.g2p_lang == "cmn":
-            from dragonmapper.transcriptions import pinyin_to_ipa
+            try:
+                from dragonmapper.transcriptions import pinyin_to_ipa
+            except ImportError:
+                # first-party pinyin syllable parser (frontend/g2p_cmn.py)
+                from toucan_tpu.frontend.g2p_cmn import pinyin_to_ipa
             return pinyin_to_ipa(text)
         if self._g2p is None:
             if self.language == "en":
