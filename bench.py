@@ -2,7 +2,18 @@
 
 Runs the HiFiGAN/Avocodo vocoder (the production default) in bf16 on the
 available accelerator, mirroring BASELINE.json's north-star metric
-(>= 5000 audio-s/s/chip).  Prints ONE JSON line.
+(>= 5000 audio-s/s/chip).  Prints the headline JSON line IMMEDIATELY after
+the vocoder measurement (flushed), then re-prints the growing result after
+every completed extra section, and finally once more as the last line —
+the driver parses the tail, so an external kill at ANY point after the
+first ~3 minutes still leaves a parseable record (round 3's official
+record was empty because the old layout printed only at the very end).
+
+Every heavy extra runs in its OWN SUBPROCESS under a hard wall-clock cap
+(``subprocess.run(timeout=...)``), not a between-sections budget check:
+a section that hangs in an XLA compile is killed at its cap instead of
+eating the driver's whole timeout.  Subprocesses share the persistent
+compilation cache (.jax_cache/), so repeat runs are fast.
 
 Timing is honest against async dispatch: K vocoder invocations are chained
 data-dependently inside one jit and the measurement spans a host fetch of a
@@ -11,18 +22,54 @@ scalar reduction, so queue-and-return runtimes cannot undercount.
 
 import json
 import os
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-
-
 TARGET = 5000.0  # audio-seconds / s / chip (BASELINE.json north star)
+
+# hard wall-clock caps per extra section (seconds); cold compiles through
+# the TPU relay are the dominant cost — caps kill a runaway compile instead
+# of letting it eat the driver's external timeout
+SECTION_CAPS = {
+    "acoustic": 360,
+    "train": 900,
+    "bigvgan": 300,
+    "pipelined": 360,
+    "stft": 180,
+    "scaling": 360,
+    "parity": 600,
+    "int8": 360,
+}
+# launch order = importance order; once the total budget runs out the rest
+# are skipped with explicit markers
+SECTION_ORDER = ["acoustic", "train", "bigvgan", "pipelined", "stft",
+                 "scaling", "parity", "int8"]
+
+
+def _setup_jax():
+    import jax
+
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+    dev = jax.devices()[0]
+    on_tpu = dev.platform != "cpu"
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    return on_tpu, dtype
 
 
 def _timed_chain(fn, variables, x, chain):
     """Best-of-3 wall time of ``chain`` data-dependently linked fn calls,
     measured through a host fetch (async-dispatch-proof)."""
+    import jax
+    import jax.numpy as jnp
 
     @jax.jit
     def run(v, m):
@@ -43,11 +90,45 @@ def _timed_chain(fn, variables, x, chain):
     return best / chain
 
 
-def _acoustic_audio_s_per_s(on_tpu, dtype):
+# --------------------------------------------------------------- headline
+
+
+def _headline():
+    import jax
+    import jax.numpy as jnp
+
+    from toucan_tpu.models.vocoders import HiFiGANGenerator
+
+    on_tpu, dtype = _setup_jax()
+    # 16 kHz-rate mel frames, hop 256 -> 16 ms of audio per frame.
+    batch, frames = (8, 960) if on_tpu else (1, 96)
+    chain = 20 if on_tpu else 2
+    audio_seconds = batch * frames * 256 / 16000.0
+
+    model = HiFiGANGenerator(dtype=dtype)
+    rng = jax.random.PRNGKey(0)
+    mel = jax.random.normal(rng, (batch, frames, 80), dtype)
+    variables = jax.jit(model.init)(rng, mel)
+
+    sec_per_call = _timed_chain(
+        lambda v, m: model.apply(v, m), variables, mel, chain)
+    return audio_seconds / sec_per_call
+
+
+# ----------------------------------------------------------from here: extras
+# each runs in its own subprocess (python bench.py --section NAME) and
+# prints ONE json fragment dict on stdout
+
+
+def _sec_acoustic():
     """Text->mel inference throughput, expressed as audio-s/s at the model's
     frame capacity (hop 256 @ 16 kHz => 16 ms of audio per produced frame)."""
+    import jax
+    import jax.numpy as jnp
+
     from toucan_tpu.models.toucan_tts import ToucanTTS, ToucanTTSConfig
 
+    on_tpu, dtype = _setup_jax()
     model = ToucanTTS(ToucanTTSConfig(dtype=dtype))
     rng = jax.random.PRNGKey(0)
     b, tmax, frames = (8, 128, 1024) if on_tpu else (1, 16, 64)
@@ -70,13 +151,35 @@ def _acoustic_audio_s_per_s(on_tpu, dtype):
         return jnp.mean(mel)[None, None, None]
 
     sec_per_call = _timed_chain(fwd, variables, text, 8 if on_tpu else 2)
-    return b * frames * 256 / 16000.0 / sec_per_call
+    return {"acoustic_audio_s_per_s":
+            round(b * frames * 256 / 16000.0 / sec_per_call, 1)}
 
 
-def _stft_audio_s_per_s(on_tpu):
+def _sec_bigvgan():
+    import jax
+
+    from toucan_tpu.models.vocoders import BigVGAN
+
+    on_tpu, dtype = _setup_jax()
+    batch, frames = (8, 960) if on_tpu else (1, 96)
+    chain = max((20 if on_tpu else 2) // 2, 2)
+    audio_seconds = batch * frames * 256 / 16000.0
+    rng = jax.random.PRNGKey(0)
+    mel = jax.random.normal(rng, (batch, frames, 80), dtype)
+    bmodel = BigVGAN(dtype=dtype)
+    bvars = jax.jit(bmodel.init)(rng, mel)
+    sec = _timed_chain(lambda v, m: bmodel.apply(v, m), bvars, mel, chain)
+    return {"bigvgan_audio_s_per_s": round(audio_seconds / sec, 1)}
+
+
+def _sec_stft():
     """log10-mel front end throughput (reshape framing + MXU matmul DFT)."""
+    import jax
+    import jax.numpy as jnp
+
     from toucan_tpu.frontend.audio import log_mel_spectrogram
 
+    on_tpu, _ = _setup_jax()
     b, secs = (8, 30) if on_tpu else (1, 2)
     audio = jax.random.normal(jax.random.PRNGKey(0), (b, secs * 16000),
                               jnp.float32)
@@ -86,19 +189,35 @@ def _stft_audio_s_per_s(on_tpu):
         return jnp.mean(mel)[None]
 
     sec_per_call = _timed_chain(fwd, None, audio, 20 if on_tpu else 2)
-    return b * secs / sec_per_call
+    return {"stft_mel_audio_s_per_s": round(b * secs / sec_per_call, 1)}
 
 
-def _train_steps_per_s(on_tpu, dtype):
+def _sec_pipelined():
+    """End-to-end (acoustic+vocoder) throughput with double-buffered stage
+    overlap: while the vocoder consumes mel N, the acoustic model computes
+    mel N+1 (SURVEY 2.10 PP row; VERDICT r03 #5).  Reported next to the
+    sequential fused path so the overlap win is on-record."""
+    from toucan_tpu.infer.pipelined import bench_pipelined_vs_sequential
+
+    on_tpu, dtype = _setup_jax()
+    return bench_pipelined_vs_sequential(on_tpu, dtype)
+
+
+def _sec_train():
     """Training throughput: full-size ToucanTTS train step (fwd+bwd+Adam,
-    glow on) at the reference batch size, and the vocoder GAN step (G+D) at
-    the reference segment length.  Heavy compiles — opt-in."""
+    glow on) at the reference batch size, the on-disk streamed-input
+    anchor, and the vocoder GAN step (G+D) at the reference segment
+    length."""
     import numpy as np
+
+    import jax
+    import jax.numpy as jnp
 
     from toucan_tpu.models.gst import StyleEmbedding
     from toucan_tpu.models.toucan_tts import ToucanTTSConfig
     from toucan_tpu.train.toucan_train import create_train_state, make_train_step
 
+    on_tpu, dtype = _setup_jax()
     out = {}
     rng = jax.random.PRNGKey(0)
     b, tmax = (24, 100) if on_tpu else (2, 8)
@@ -202,6 +321,9 @@ def _streamed_vs_resident(step, state, resident_batch, b, tmax, lmax,
 
     import numpy as np
 
+    import jax
+    import jax.numpy as jnp
+
     from toucan_tpu.data.prefetch import DevicePrefetcher
 
     step_j = jax.jit(step)
@@ -266,16 +388,18 @@ def _streamed_vs_resident(step, state, resident_batch, b, tmax, lmax,
 
         def timed_run(batch_iter):
             s = state
-            first = True
             t0 = time.perf_counter()
             n = 0
             for bt in batch_iter:
                 s, m = step_j(s, bt, key)
-                if first:  # don't let queue warm-up hide in the timing
-                    first = False
+                if n == 0:
+                    # restart the clock after the first step completes so
+                    # prefetch-queue warm-up can't hide in the timing
+                    jax.block_until_ready(s.params)
+                    t0 = time.perf_counter()
                 n += 1
             jax.block_until_ready(s.params)
-            return n / (time.perf_counter() - t0)
+            return (n - 1) / (time.perf_counter() - t0)
 
         resident_rate = timed_run([resident_batch] * n_steps)
         pf = DevicePrefetcher(
@@ -291,12 +415,69 @@ def _streamed_vs_resident(step, state, resident_batch, b, tmax, lmax,
         shutil.rmtree(cache_dir, ignore_errors=True)
 
 
+def _sec_int8():
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from toucan_tpu.models.vocoders import HiFiGANGenerator
+    from toucan_tpu.models.vocoders.hifigan import calibrate_act_scales
+
+    on_tpu, dtype = _setup_jax()
+    if not on_tpu:
+        return {"int8_skipped": "cpu"}
+    batch, frames = 8, 960
+    chain = 20
+    audio_seconds = batch * frames * 256 / 16000.0
+    rng = jax.random.PRNGKey(0)
+    mel = jax.random.normal(rng, (batch, frames, 80), dtype)
+    model = HiFiGANGenerator(dtype=dtype)
+    variables = jax.jit(model.init)(rng, mel)
+
+    out = {}
+    f32_model = HiFiGANGenerator()
+    mel32 = mel.astype(jnp.float32)
+    vars32 = jax.tree.map(
+        lambda a: a.astype(jnp.float32)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, variables)
+    scales = calibrate_act_scales(f32_model, variables, mel32[:1])
+    scales = {k: jnp.asarray(v) for k, v in scales.items()}
+    q_model = HiFiGANGenerator(dtype=dtype, stage_mode="int8")
+    sec_q = _timed_chain(
+        lambda v, m: q_model.apply(v, m, act_scales=scales),
+        variables, mel, chain)
+    out["vocoder_int8_audio_s_per_s"] = round(audio_seconds / sec_q, 1)
+    # quality: int8 vs exact f32 on the same mel
+    w_ref = jax.jit(f32_model.apply)(vars32, mel32[:1])
+    w_q = jax.jit(lambda v, m: q_model.apply(
+        v, m, act_scales=scales))(variables, mel32[:1])
+    out["vocoder_int8_max_abs_err_vs_f32"] = float(
+        np.abs(np.asarray(w_q, np.float32)
+               - np.asarray(w_ref, np.float32)).max())
+    return out
+
+
+def _sec_parity():
+    out = {}
+    err = _waveform_parity_max_abs_err()
+    if err is not None:
+        out["waveform_max_abs_err_vs_torch"] = err
+    errs = _mel_parity_max_abs_err()
+    if errs is not None:
+        out.update(errs)
+    return out
+
+
 def _waveform_parity_max_abs_err():
     """BASELINE correctness metric, measured live: a random-init reference
     HiFiGAN (PyTorch, CPU, f32) vs our generator with converted weights on
     the benchmark device (f32).  Needs /root/reference + torch."""
     import numpy as np
     import torch
+
+    import jax
+    import jax.numpy as jnp
 
     from toucan_tpu.compat.reference_import import (import_reference_module,
                                                     reference_available)
@@ -305,6 +486,7 @@ def _waveform_parity_max_abs_err():
 
     if not reference_available():
         return None
+    _setup_jax()
     torch.manual_seed(0)
     ref_mod = import_reference_module(
         "TrainingInterfaces.Spectrogram_to_Wave.HiFiGAN.HiFiGAN")
@@ -329,6 +511,9 @@ def _mel_parity_max_abs_err():
     import numpy as np
     import torch
 
+    import jax
+    import jax.numpy as jnp
+
     from toucan_tpu.compat.reference_import import (import_reference_module,
                                                     reference_available)
     from toucan_tpu.compat.torch_toucan import convert_toucan_tts
@@ -336,6 +521,7 @@ def _mel_parity_max_abs_err():
 
     if not reference_available():
         return None
+    _setup_jax()
     small = dict(enc_layers=2, dec_layers=2, pitch_layers=2)
     torch.manual_seed(0)
     train_mod = import_reference_module(
@@ -400,141 +586,98 @@ def _mel_parity_max_abs_err():
             "mel_max_abs_err_vs_torch_f32prec": f32_err}
 
 
-def main():
-    from toucan_tpu.models.vocoders import HiFiGANGenerator
+def _sec_scaling():
+    # 1-chip scaling anchor: the fixed-geometry number the >=85%-at-
+    # 2-hosts target (BASELINE.md) is measured against when a pod
+    # slice appears.  Same harness the sweep mode uses.
+    on_tpu, _ = _setup_jax()
+    if not on_tpu:
+        return {"scaling_skipped": "cpu"}
+    from toucan_tpu.dist.scaling_bench import measure
 
-    # persistent executable cache: the heavy train-step compiles dominate
-    # bench wall time; repeat runs on the same machine reuse them
+    return {"scaling_bench_1chip": measure(n_data=1, n_model=1,
+                                           batch_per_device=8)}
+
+
+SECTIONS = {
+    "acoustic": _sec_acoustic,
+    "train": _sec_train,
+    "bigvgan": _sec_bigvgan,
+    "pipelined": _sec_pipelined,
+    "stft": _sec_stft,
+    "scaling": _sec_scaling,
+    "parity": _sec_parity,
+    "int8": _sec_int8,
+}
+
+
+def _run_section_subprocess(name, cap):
+    """Run one extra section in a child process under a hard timeout;
+    return its JSON fragment (or an error/timeout marker)."""
+    env = dict(os.environ)
     try:
-        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 ".jax_cache")
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--section", name],
+            capture_output=True, text=True, timeout=cap, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return {f"{name}_timeout_s": cap}
+    if proc.returncode != 0:
+        tail = (proc.stderr or "").strip().splitlines()[-3:]
+        return {f"{name}_error": " | ".join(tail)[:300]}
+    for line in reversed((proc.stdout or "").strip().splitlines()):
+        try:
+            frag = json.loads(line)
+            if isinstance(frag, dict):
+                return frag
+        except ValueError:
+            continue
+    return {f"{name}_error": "no JSON fragment in section output"}
 
-    dev = jax.devices()[0]
-    on_tpu = dev.platform != "cpu"
-    dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
-    # wall-clock budget: the heavy extras (train-step compiles through the
-    # relay) can push a cold run past an hour; once the budget is spent,
-    # remaining extras are skipped with an explicit marker so the headline
-    # JSON always lands
-    start_time = time.time()
-    budget = float(os.environ.get("TOUCAN_BENCH_BUDGET", "2700"))
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--section":
+        name = sys.argv[2]
+        print(json.dumps(SECTIONS[name]()), flush=True)
+        return
 
-    def budget_left(section):
-        if time.time() - start_time < budget:
-            return True
-        result.setdefault("extra", {})[f"{section}_skipped_over_budget"] = True
-        return False
+    start = time.time()
+    budget = float(os.environ.get("TOUCAN_BENCH_BUDGET", "1200"))
 
-    # 16 kHz-rate mel frames, hop 256 -> 16 ms of audio per frame.
-    batch, frames = (8, 960) if on_tpu else (1, 96)
-    chain = 20 if on_tpu else 2
-    audio_seconds = batch * frames * 256 / 16000.0
-
-    model = HiFiGANGenerator(dtype=dtype)
-    rng = jax.random.PRNGKey(0)
-    mel = jax.random.normal(rng, (batch, frames, 80), dtype)
-    variables = jax.jit(model.init)(rng, mel)
-
-    sec_per_call = _timed_chain(
-        lambda v, m: model.apply(v, m), variables, mel, chain)
-    value = audio_seconds / sec_per_call
-
+    value = _headline()
     result = {
         "metric": "vocoder_audio_seconds_per_second_per_chip",
         "value": round(value, 1),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(value / TARGET, 3),
     }
+    # the headline lands NOW — any later kill still leaves this line
+    print(json.dumps(result), flush=True)
+
     if os.environ.get("TOUCAN_BENCH_EXTRA", "1") != "0":
-        result["extra"] = {}
-        try:
-            acoustic = _acoustic_audio_s_per_s(on_tpu, dtype)
-            result["extra"].update({
-                "acoustic_audio_s_per_s": round(acoustic, 1),
-                "e2e_audio_s_per_s": round(1.0 / (1.0 / value + 1.0 / acoustic), 1),
-            })
-        except Exception as exc:  # extras must never kill the headline
-            result["extra"]["error"] = str(exc)[:200]
-        try:
-            from toucan_tpu.models.vocoders import BigVGAN
+        extra = result["extra"] = {}
+        skip = set()
+        if os.environ.get("TOUCAN_BENCH_TRAIN", "1") == "0":
+            skip.add("train")
+        if os.environ.get("TOUCAN_BENCH_SCALING", "1") == "0":
+            skip.add("scaling")
+        for name in SECTION_ORDER:
+            if name in skip:
+                continue
+            remaining = budget - (time.time() - start)
+            if remaining < 30:
+                extra[f"{name}_skipped_over_budget"] = True
+                continue
+            cap = min(SECTION_CAPS[name], int(remaining))
+            extra.update(_run_section_subprocess(name, cap))
+            if ("acoustic_audio_s_per_s" in extra
+                    and "e2e_audio_s_per_s" not in extra):
+                extra["e2e_audio_s_per_s"] = round(
+                    1.0 / (1.0 / value + 1.0 / extra["acoustic_audio_s_per_s"]), 1)
+            # re-print after every section: the tail is always parseable
+            print(json.dumps(result), flush=True)
 
-            bmodel = BigVGAN(dtype=dtype)
-            bvars = jax.jit(bmodel.init)(rng, mel)
-            sec = _timed_chain(lambda v, m: bmodel.apply(v, m), bvars, mel,
-                               max(chain // 2, 2))
-            result["extra"]["bigvgan_audio_s_per_s"] = round(audio_seconds / sec, 1)
-        except Exception as exc:
-            result["extra"]["bigvgan_error"] = str(exc)[:200]
-        try:
-            result["extra"]["stft_mel_audio_s_per_s"] = round(
-                _stft_audio_s_per_s(on_tpu), 1)
-        except Exception as exc:
-            result["extra"]["stft_error"] = str(exc)[:200]
-        if on_tpu and budget_left("int8"):  # int8 mode (v4 stage kernel)
-            try:
-                import numpy as np
-
-                from toucan_tpu.models.vocoders.hifigan import (
-                    calibrate_act_scales)
-
-                f32_model = HiFiGANGenerator()
-                mel32 = mel.astype(jnp.float32)
-                vars32 = jax.tree.map(
-                    lambda a: a.astype(jnp.float32)
-                    if jnp.issubdtype(a.dtype, jnp.floating) else a, variables)
-                scales = calibrate_act_scales(f32_model, variables, mel32[:1])
-                scales = {k: jnp.asarray(v) for k, v in scales.items()}
-                q_model = HiFiGANGenerator(dtype=dtype, stage_mode="int8")
-                sec_q = _timed_chain(
-                    lambda v, m: q_model.apply(v, m, act_scales=scales),
-                    variables, mel, chain)
-                result["extra"]["vocoder_int8_audio_s_per_s"] = round(
-                    audio_seconds / sec_q, 1)
-                # quality: int8 vs exact f32 on the same mel
-                w_ref = jax.jit(f32_model.apply)(vars32, mel32[:1])
-                w_q = jax.jit(lambda v, m: q_model.apply(
-                    v, m, act_scales=scales))(variables, mel32[:1])
-                result["extra"]["vocoder_int8_max_abs_err_vs_f32"] = float(
-                    np.abs(np.asarray(w_q, np.float32)
-                           - np.asarray(w_ref, np.float32)).max())
-            except Exception as exc:
-                result["extra"]["int8_error"] = str(exc)[:200]
-        if budget_left("parity"):
-            try:
-                err = _waveform_parity_max_abs_err()
-                if err is not None:
-                    result["extra"]["waveform_max_abs_err_vs_torch"] = err
-                errs = _mel_parity_max_abs_err()
-                if errs is not None:
-                    result["extra"].update(errs)
-            except Exception as exc:
-                result["extra"]["parity_error"] = str(exc)[:200]
-        # training anchors are default-ON (VERDICT r02 #6: r02 silently lost
-        # them because this was opt-in); disable with TOUCAN_BENCH_TRAIN=0
-        if os.environ.get("TOUCAN_BENCH_TRAIN", "1") == "1" \
-                and budget_left("train"):
-            try:
-                result["extra"].update(_train_steps_per_s(on_tpu, dtype))
-            except Exception as exc:
-                result["extra"]["train_error"] = str(exc)[:200]
-        if on_tpu and os.environ.get("TOUCAN_BENCH_SCALING", "1") == "1" \
-                and budget_left("scaling"):
-            # 1-chip scaling anchor: the fixed-geometry number the >=85%%-at-
-            # 2-hosts target (BASELINE.md) is measured against when a pod
-            # slice appears.  Same harness the sweep mode uses.
-            try:
-                from toucan_tpu.dist.scaling_bench import measure
-
-                result["extra"]["scaling_bench_1chip"] = measure(
-                    n_data=1, n_model=1, batch_per_device=8)
-            except Exception as exc:
-                result["extra"]["scaling_bench_error"] = str(exc)[:200]
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

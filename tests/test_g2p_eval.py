@@ -1,0 +1,36 @@
+"""G2P accuracy floor against the curated dictionary-IPA fixture
+(VERDICT r03 #6: quantify G2P quality; numbers recorded in G2P.md)."""
+
+from toucan_tpu.frontend.g2p_eval import evaluate
+
+# measured round-4 levels (G2P.md); a regression below these fails
+MIN_WORD_ACC = {
+    "en": 1.0, "es": 1.0, "de": 1.0, "fr": 1.0, "fi": 1.0, "hu": 1.0,
+    "el": 1.0, "ru": 1.0, "uk": 1.0, "fa": 1.0, "vi": 1.0,
+    "it": 0.90, "nl": 0.95, "pl": 0.95, "pt": 0.95,
+}
+MAX_PER = 0.03
+
+
+def test_g2p_accuracy_floors():
+    results = evaluate()
+    assert set(MIN_WORD_ACC) == set(results), "fixture/language drift"
+    problems = []
+    for lang, r in results.items():
+        if r["word_accuracy"] < MIN_WORD_ACC[lang]:
+            problems.append(
+                f"{lang}: word-acc {r['word_accuracy']:.1%} < "
+                f"{MIN_WORD_ACC[lang]:.1%}: {r['errors'][:5]}")
+        if r["per"] > MAX_PER:
+            problems.append(f"{lang}: PER {r['per']:.1%} > {MAX_PER:.1%}")
+    assert not problems, "\n".join(problems)
+
+
+def test_residual_errors_are_the_documented_ones():
+    """The five known gaps (G2P.md) stay known — anything new shows up."""
+    results = evaluate()
+    residual = {(lang, w) for lang, r in results.items()
+                for (w, _, _) in r["errors"]}
+    assert residual == {("it", "notte"), ("it", "bella"),
+                        ("nl", "liefde"), ("pl", "książka"),
+                        ("pt", "escola")}, residual

@@ -115,7 +115,9 @@ def load_toucan_tts(path: str, return_config: bool = False):
         sd, enc_layers=config.enc_layers, dec_layers=config.dec_layers,
         duration_layers=config.duration_layers,
         pitch_layers=config.pitch_layers, energy_layers=config.energy_layers,
-        glow_blocks=config.glow_blocks, glow_layers=config.glow_layers,
+        # a glow-less (FastSpeech2-style) checkpoint has no post_flow.* keys
+        glow_blocks=config.glow_blocks if config.use_postflow else 0,
+        glow_layers=config.glow_layers,
         conditional=config.conditional_predictors))
     default_emb = ckpt.get("default_emb")
     if default_emb is not None:

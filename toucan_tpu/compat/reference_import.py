@@ -28,7 +28,16 @@ def import_reference_module(name: str):
     class _Stub(types.ModuleType):
         """Import succeeds (module-level reference imports work) but any
         attribute access raises ImportError, so runtime code that guards
-        ``import x`` with try/except keeps behaving as if x were missing."""
+        ``import x`` with try/except keeps behaving as if x were missing.
+
+        The class-level ``__toucan_stub__`` marker lets framework code
+        (``utils/optional.py::optional_import``) reject these modules: the
+        stubs necessarily stay in ``sys.modules`` for the whole process
+        (the imported reference modules hold references to them), and an
+        unmarked stub once silently hijacked the first-party Mandarin G2P
+        path via its ``pinyin`` attribute (VERDICT r03 weak #1)."""
+
+        __toucan_stub__ = True
 
         def __getattr__(self, attr):
             if attr.startswith("__"):

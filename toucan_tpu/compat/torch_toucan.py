@@ -174,6 +174,10 @@ def convert_toucan_tts(sd: dict, enc_layers=6, dec_layers=6, duration_layers=3,
                               "bias": sd[f"conv_postnet.postnet.{i}.1.bias"]}
     params["conv_postnet"] = postnet
 
+    if glow_blocks == 0:  # FastSpeech2-style checkpoint without a PostFlow
+        return {"params": params, "batch_stats": batch_stats,
+                "buffers": buffers}
+
     glow_p, glow_b = {}, {}
     glow_p["g_proj"] = _t_conv(sd, "post_flow.g_proj")
     for b in range(glow_blocks):

@@ -33,8 +33,8 @@ from toucan_tpu.frontend.text import TextFrontend, language_id
 def read_wave(path: str):
     """Load a wav/flac as (float32 mono, sr); soundfile if present, else wave."""
     try:
-        import soundfile
-        wave, sr = soundfile.read(path)
+        from toucan_tpu.utils.optional import optional_import
+        wave, sr = optional_import("soundfile").read(path)
         return np.asarray(wave, np.float32), sr
     except ImportError:
         pass

@@ -24,6 +24,7 @@ import re
 # Frequent words with irregular spellings (general-American IPA, inventory
 # alphabet; ˈ marks primary stress).
 _EXCEPTIONS = {
+    "choose": "tʃˈuz", "phase": "fˈeɪz", "national": "nˈæʃənəl",
     "the": "ðə", "a": "ə", "an": "ən", "of": "ʌv", "to": "tu", "and": "ænd",
     "in": "ɪn", "is": "ɪz", "was": "wˈʌz", "he": "hi", "she": "ʃi",
     "it": "ɪt", "for": "fɔɹ", "on": "ɑn", "are": "ɑɹ", "as": "æz",
@@ -102,6 +103,8 @@ _RULES = [
     # --- multi-letter suffixes / clusters (longest first) ---
     ("ought", None, None, "ɔt"),
     ("aught", None, None, "ɔt"),
+    ("ation", None, None, "eɪʃən"),   # nation, station: long a
+    ("otion", None, None, "oʊʃən"),   # motion, lotion: long o
     ("tion", None, None, "ʃən"),
     ("sion", _V, None, "ʒən"),
     ("sion", None, None, "ʃən"),
@@ -111,10 +114,18 @@ _RULES = [
     ("tious", None, None, "ʃəs"),
     ("ture", None, "$", "tʃəɹ"),
     ("sure", _V, "$", "ʒəɹ"),
+    # final -se: voiceless in the -ouse/-ase/-oose noun patterns (house,
+    # case, goose) — the generic intervocalic-s rule would voice them
+    ("ouse", None, "$", "aʊs"),
+    ("ase", None, "$", "eɪs"),
+    ("oose", None, "$", "us"),
     ("ough", None, None, "oʊ"),
     ("augh", None, None, "ɔ"),
     ("eigh", None, None, "eɪ"),
     ("igh", None, None, "aɪ"),
+    ("ange", None, "$", "eɪndʒ"),    # change, strange: magic-e over n
+    ("other", None, "$", "ʌðəɹ"),    # mother, brother, other
+    ("sch", "^$", None, "sk"),       # school, scheme
     ("dge", None, None, "dʒ"),
     ("tch", None, None, "tʃ"),
     ("qu", None, None, "kw"),

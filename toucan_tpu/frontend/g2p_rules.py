@@ -5,9 +5,11 @@ The reference phonemizes plain text through espeak-ng
 image (no egress, no source tree, no binary), so these transducers make the
 plain-text path REAL instead of mock-only for the languages whose
 orthography is regular enough for rules: es, it, fi, el, hu, pl, nl, de,
-ru, pt/pt-br, fr, vi.  English has its own NRL-style ruleset + lexicon
-(``frontend/g2p_en.py``); Mandarin goes through pypinyin + dragonmapper
-like the reference.
+ru, uk, pt/pt-br, fr, vi ‚Äî plus fa (lexicon + consonant-skeleton
+transducer; see the Farsi section).  English has its own NRL-style
+ruleset + lexicon (``frontend/g2p_en.py``); Mandarin goes through
+pypinyin + dragonmapper like the reference (with a first-party pinyin
+parser fallback, ``frontend/g2p_cmn.py``).
 
 Engine: per language an ordered longest-match list of contextual rewrite
 rules applied by a left-to-right scanner over the grapheme string (contexts
@@ -18,13 +20,20 @@ feeds the same ``postprocess_phoneme_string`` -> feature-vector path the
 espeak output would.
 
 Quality notes (documented approximations):
-* ru: letter-to-sound with palatalization; unstressed-vowel reduction needs
-  a stress lexicon and is approximated (no reduction, no stress mark).
+* ru/uk: letter-to-sound with palatalization; unstressed-vowel reduction
+  and lexical stress need a stress lexicon and are approximated (no
+  reduction, no stress mark).
 * fr: rule systems reach ~90% on French; liaison is not modeled.
 * pt: vowel reduction is not modeled; nasalization is.
 * de: stress falls on the first syllable (common case); separable-prefix
-  stress shifts are not modeled.
-Numbers are read digit-by-digit (espeak reads full numerals).
+  stress shifts are not modeled.  Vowel length follows the open/closed
+  syllable rule plus a function-word lexicon.
+* fa: Persian script leaves short vowels unwritten, so rules alone cannot
+  recover them ‚Äî a frequent-word lexicon carries the correct vowels and
+  everything else gets the consonant skeleton with epenthetic /√¶/
+  (documented quality carve-out; see ``_fa_word``).
+Numbers are read as full numerals via ``frontend/numbers.py`` (espeak
+behavior); integers beyond 999 999 fall back to digit-by-digit.
 """
 
 from __future__ import annotations
@@ -141,6 +150,9 @@ def stress_spanish(word: str, ipa: str) -> str:
 def stress_portuguese(word: str, ipa: str) -> str:
     if PRIMARY_STRESS in ipa:
         return ipa
+    # nasal-diphthong endings (-√£o, -√£e, -√µe + plurals) are final-stressed
+    if re.search(r"(√£o|√£e|√µe)s?$", word):
+        return stress_final(word, ipa)
     return stress_penult(word, ipa) if re.search(r"[aeoms]$|am$|em$", word) \
         else stress_final(word, ipa)
 
@@ -157,7 +169,8 @@ def stress_marked_only(word: str, ipa: str) -> str:
 class Language:
     rules: RuleSet
     stress: Callable[[str, str], str]
-    digits: Sequence[str]  # words for 0..9, read digit-by-digit
+    digits: Sequence[str]  # words for 0..9 (fallback beyond numbers.py range)
+    lexicon: Dict[str, str] = field(default_factory=dict)
 
 
 # ---------------------------------------------------------------------------
@@ -204,9 +217,14 @@ _IT_RULES = [
     Rule("z", "ts"), Rule("h", ""), Rule("qu", "kw"),
     Rule("r", "r"), Rule("v", "v"),
     Rule("b", "b"), Rule("d", "d"), Rule("f", "f"), Rule("k", "k"),
-    Rule("l", "l"), Rule("m", "m"), Rule("n", "≈ã", post="[ckgq]"),
+    Rule("l", "l"), Rule("m", "m"),
+    # n assimilates before velars, but not before ge/gi (= d í: mangiare)
+    Rule("n", "≈ã", post="[ckq]|g(?![ei])"),
     Rule("n", "n"), Rule("p", "p"), Rule("s", "s"), Rule("t", "t"),
     Rule("w", "w"), Rule("j", "j"), Rule("x", "ks"),
+    Rule("uo", "w…î"),  # buono, scuola, uomo
+    # unstressed i glides before vowels after a consonant (piano, grazie)
+    Rule("i", "j", pre="[bcdfglmnprstvz]", post="[aeou]"),
     Rule("a", "a"), Rule("e", "e"), Rule("i", "i"), Rule("o", "o"),
     Rule("u", "u"), Rule("y", "i"),
     Rule("√†", "Ààa"), Rule("√®", "Àà…õ"), Rule("√©", "Ààe"), Rule("√¨", "Àài"),
@@ -256,7 +274,12 @@ _EL_RULES = [
     Rule("ŒºœÄ", "b", pre="^"), Rule("ŒºœÄ", "mb"),
     Rule("ŒΩœÑ", "d", pre="^"), Rule("ŒΩœÑ", "nd"),
     Rule("Œ≥Œ∫", "…°", pre="^"), Rule("Œ≥Œ∫", "≈ã…°"), Rule("Œ≥Œ≥", "≈ã…°"),
-    Rule("œÑœÉ", "ts"), Rule("œÑŒ∂", "dz"),
+    Rule("œÑœÉ", "ts"), Rule("œÑŒ∂", "dz"), Rule("œÉœÉ", "s"), Rule("ŒªŒª", "l"),
+    Rule("ŒºŒº", "m"), Rule("ŒΩŒΩ", "n"), Rule("œÄœÄ", "p"), Rule("œÑœÑ", "t"),
+    Rule("Œ∫Œ∫", "k"), Rule("œÅœÅ", "…æ"),
+    # palatal + unstressed Œπ/ŒµŒπ glide before vowels (Œ¥ŒøœÖŒªŒµŒπŒ¨, Œ∫Œ±ŒπŒΩŒøœçœÅŒ≥ŒπŒøœÇ)
+    Rule("ŒªŒµŒπ", " é", post="[Œ¨Œ±Œøœå]"), Rule("ŒªŒπ", " é", post="[Œ¨Œ±ŒøœåœÖœçœâœé]"),
+    Rule("ŒΩŒπ", "…≤", post="[Œ¨Œ±ŒøœåœÖœçœâœé]"), Rule("Œ≥Œπ", " ù", post="[Œ¨Œ±ŒøœåœÖœçœâœé]"),
     # Œ≥: j before front vowels, …£ otherwise
     Rule("Œ≥", " ù", post="[ŒµŒπŒ∑œÖŒØŒ≠ŒÆœç]"), Rule("Œ≥", "…£"),
     Rule("œá", "√ß", post="[ŒµŒπŒ∑œÖŒØŒ≠ŒÆœç]"), Rule("œá", "x"),
@@ -318,7 +341,15 @@ _PL_RULES = [
     Rule("rz", " í"), Rule("ch", "x"),
     Rule("ƒá", "t…ï"), Rule("≈õ", "…ï"), Rule("≈∫", " ë"), Rule("≈Ñ", "…≤"),
     Rule("≈º", " í"), Rule("≈Ç", "w"), Rule("w", "v"),
-    Rule("ƒÖ", "…îÃÉ"), Rule("ƒô", "…õÃÉ"), Rule("√≥", "u"),
+    # nasal vowels decompose before plosives (ƒôk -> …õ≈ãk, ƒÖt -> …înt) and ƒô
+    # denasalizes word-finally (standard Warsaw pronunciation)
+    Rule("ƒÖ", "…î≈ã", post="[kg]"), Rule("ƒÖ", "…în", post="[tdc]"),
+    Rule("ƒÖ", "…îm", post="[pb]"), Rule("ƒÖ", "…îÃÉ"),
+    Rule("ƒô", "…õ≈ã", post="[kg]"), Rule("ƒô", "…õn", post="[tdc]"),
+    Rule("ƒô", "…õm", post="[pb]"), Rule("ƒô", "…õ", post="$"), Rule("ƒô", "…õÃÉ"),
+    Rule("√≥", "u"),
+    # i marks palatalization + glides before vowels (miasto -> mjasto)
+    Rule("i", "j", pre="[bcdfghklmprstvwz]", post="[aeouƒÖƒô√≥]"),
     Rule("a", "a"), Rule("e", "…õ"), Rule("i", "i"), Rule("o", "…î"),
     Rule("u", "u"), Rule("y", "…®"),
     Rule("b", "b"), Rule("c", "ts"), Rule("d", "d"), Rule("f", "f"),
@@ -336,15 +367,23 @@ _PL_DIGITS = ["zero", "jeden", "dwa", "trzy", "cztery", "piƒôƒá", "sze≈õƒá",
 
 _NL_RULES = [
     Rule("sch", "sx", post="[aeiou]"), Rule("sch", "s"),  # final -sch = /s/
+    Rule("ieuw", "i ã"), Rule("ooi", "oÀêi"), Rule("aai", "aÀêi"),
     Rule("ij", "…õi"), Rule("ei", "…õi"), Rule("ui", "≈ìy"), Rule("ou", " åu"),
     Rule("au", " åu"), Rule("oe", "u"), Rule("eu", "√∏"), Rule("ie", "i"),
     Rule("aa", "aÀê"), Rule("ee", "eÀê"), Rule("oo", "oÀê"), Rule("uu", "y"),
     Rule("ng", "≈ã"), Rule("nk", "≈ãk"), Rule("ch", "x"),
-    Rule("a", "…ë"), Rule("e", "…ô", post="[lnr]?$"), Rule("e", "…õ"),
+    Rule("e", "…ô", post="[lnr]?$"),
+    # open-syllable lengthening: single vowel + single consonant + vowel
+    # (water ->  ãaÀêt…ôr, leven -> leÀêv…ôn)
+    Rule("a", "aÀê", post="[bdfgklmnprstv][aeiou]"),
+    Rule("e", "eÀê", post="[bdfgklmnprstv][aeiou]"),
+    Rule("o", "oÀê", post="[bdfgklmnprstv][aeiou]"),
+    Rule("a", "…ë"), Rule("e", "…õ"),
     Rule("i", "…™"), Rule("o", "…î"), Rule("u", " è"), Rule("y", "i"),
     Rule("b", "b"), Rule("c", "s", post="[ei]"), Rule("c", "k"),
     Rule("d", "t", post="$"), Rule("d", "d"), Rule("f", "f"),
-    Rule("g", "…£"), Rule("h", "…¶"), Rule("j", "j"), Rule("k", "k"),
+    Rule("g", "x", post="$"), Rule("g", "…£"), Rule("h", "…¶"),
+    Rule("j", "j"), Rule("k", "k"),
     Rule("l", "l"), Rule("m", "m"), Rule("n", "n"), Rule("p", "p"),
     Rule("q", "k"), Rule("r", "r"), Rule("s", "s"), Rule("t", "t"),
     Rule("v", "v"), Rule("w", " ã"), Rule("x", "ks"), Rule("z", "z"),
@@ -355,22 +394,57 @@ _NL_DIGITS = ["nul", "een", "twee", "drie", "vier", "vijf", "zes", "zeven",
               "acht", "negen"]
 
 # ---------------------------------------------------------------------------
-# German (approximation; initial stress)
+# German (approximation; initial stress).  Vowel length: a stressed vowel
+# before a single consonant + vowel/end is long (Name, gut, rot); before a
+# consonant cluster or doubled consonant it is short (und, Mutter).
+# Monosyllabic function words that break the rule sit in the lexicon.
 # ---------------------------------------------------------------------------
+
+# high-frequency function words whose vowels the length rule would get wrong
+_DE_LEXICON = {
+    "das": "das", "was": "vas", "es": "…õs", "des": "d…õs", "dass": "das",
+    "da√ü": "das", "in": "…™n", "im": "…™m", "an": "an", "am": "am",
+    "um": " äm", "zum": "ts äm", "von": "f…în", "vom": "f…îm", "mit": "m…™t",
+    "bis": "b…™s", "ab": "ap", "ob": "…îp", "man": "man", "hat": "hat",
+    "ist": "…™st", "bin": "b…™n", "hin": "h…™n", "hin-": "h…™n",
+    "weg": "v…õk", "zu": "tsuÀê", "er": "…õ…ê", "der": "deÀê…ê", "wir": "viÀê…ê",
+    "mir": "miÀê…ê", "dir": "diÀê…ê", "vor": "foÀê…ê", "nur": "nuÀê…ê",
+    "f√ºr": "fyÀê…ê", "zur": "tsuÀê…ê", "buch": "buÀêx", "nach": "naÀêx",
+    "doch": "d…îx", "auch": "a äx", "sich": "z…™√ß", "mich": "m…™√ß",
+    "dich": "d…™√ß",
+}
+
+_DE_LONG_POST = "[bdfglkmnprstv√ü](?:$|[aeiou√§√∂√ºy])"  # single consonant, open
 
 _DE_RULES = [
     Rule("tsch", "t É"), Rule("dsch", "d í"), Rule("sch", " É"),
     Rule("tion", "tsioÀên"), Rule("chs", "ks"),
     Rule("ch", "x", pre="[aou]"), Rule("ch", "√ß"),
     Rule("ck", "k"), Rule("tz", "ts"), Rule("ph", "f"), Rule("th", "t"),
-    Rule("qu", "kv"),
+    Rule("qu", "kv"), Rule("ss", "s"), Rule("dt", "t"),
+    # doubled consonants degeminate (they only mark the short vowel)
+    Rule("tt", "t"), Rule("nn", "n"), Rule("mm", "m"), Rule("ll", "l"),
+    Rule("pp", "p"), Rule("ff", "f"), Rule("rr", " Å"), Rule("dd", "d"),
+    Rule("bb", "b"), Rule("gg", "…°"), Rule("kk", "k"),
     Rule("sp", " Ép", pre="^"), Rule("st", " Ét", pre="^"),
     Rule("ei", "a…™"), Rule("ai", "a…™"), Rule("eu", "…î è"), Rule("√§u", "…î è"),
     Rule("au", "a ä"), Rule("ie", "iÀê"), Rule("ee", "eÀê"), Rule("aa", "aÀê"),
     Rule("oo", "oÀê"), Rule("eh", "eÀê"), Rule("ah", "aÀê"), Rule("oh", "oÀê"),
     Rule("uh", "uÀê"), Rule("ih", "iÀê"), Rule("√§h", "…õÀê"), Rule("√∂h", "√∏Àê"),
     Rule("√ºh", "yÀê"),
-    Rule("a", "a"), Rule("e", "…ô", post="[lnr]?$"), Rule("e", "…õ"),
+    Rule("ig", "…™√ß", post="$"),  # -ig suffix (zwanzig, K√∂nig)
+    Rule("er", "…ê", post="$"),   # vocalized -er (Wasser, Vater)
+    Rule("e", "…ô", post="[lnr]?$"),  # unstressed final syllable schwa
+    # open-syllable vowel length (gut -> …°uÀêt, Name -> naÀêm…ô, rot ->  ÅoÀêt);
+    # closed syllables / doubled consonants stay short (und, Mutter)
+    Rule("a", "aÀê", post=_DE_LONG_POST), Rule("a", "aÀê", post="$"),
+    Rule("e", "eÀê", post=_DE_LONG_POST),
+    Rule("i", "iÀê", post=_DE_LONG_POST), Rule("i", "iÀê", post="$"),
+    Rule("o", "oÀê", post=_DE_LONG_POST), Rule("o", "oÀê", post="$"),
+    Rule("u", "uÀê", post=_DE_LONG_POST), Rule("u", "uÀê", post="$"),
+    Rule("√§", "…õÀê", post=_DE_LONG_POST), Rule("√∂", "√∏Àê", post=_DE_LONG_POST),
+    Rule("√º", "yÀê", post=_DE_LONG_POST),
+    Rule("a", "a"), Rule("e", "…õ"),
     Rule("i", "…™"), Rule("o", "…î"), Rule("u", " ä"), Rule("√§", "…õ"),
     Rule("√∂", "≈ì"), Rule("√º", " è"), Rule("y", "y"),
     Rule("b", "p", post="$"), Rule("b", "b"),
@@ -416,6 +490,38 @@ _RU_DIGITS = ["–Ω–æ–ª—å", "–æ–¥–∏–Ω", "–¥–≤–∞", "—Ç—Ä–∏", "—á–µ—Ç—ã—Ä–µ", "–ø—è—
               "—Å–µ–º—å", "–≤–æ—Å–µ–º—å", "–¥–µ–≤—è—Ç—å"]
 
 # ---------------------------------------------------------------------------
+# Ukrainian (near-phonemic Cyrillic; the ru scanner machinery transfers ‚Äî
+# VERDICT r03 #3).  Distinctives vs ru: –≥ = /…¶/ (“ë = /…°/), –∏ = /…™/,
+# –µ = /…õ/ (never iotated), —î/—ó/—é/—è iotate word-initially / after vowels,
+# apostrophe blocks palatalization (handled by the clitic split in
+# ``phonemize_rules``: each apostrophe part phonemizes with its own word
+# boundary, so –ø'—è—Ç—å -> –ø + —è—Ç—å -> pjat É-free /pjat/).  –≤ is / ã/ (its [w]
+# coda allophone is approximated).  Lexical stress needs a lexicon and is
+# left unmarked like ru (documented approximation).
+# ---------------------------------------------------------------------------
+
+_UK_RULES = [
+    Rule("–¥–∂", "d í"), Rule("–¥–∑", "dz"),
+    # iotated vowels: j+V word-initially / after vowels; after consonants
+    # they mark palatalization (approximated as plain consonant + vowel)
+    Rule("—î", "j…õ", pre="^|[–∞–µ—î–∏—ñ—ó–æ—É—é—è]"), Rule("—î", "…õ"),
+    Rule("—é", "ju", pre="^|[–∞–µ—î–∏—ñ—ó–æ—É—é—è]"), Rule("—é", "u"),
+    Rule("—è", "ja", pre="^|[–∞–µ—î–∏—ñ—ó–æ—É—é—è]"), Rule("—è", "a"),
+    Rule("—ó", "ji"),
+    Rule("–∞", "a"), Rule("–µ", "…õ"), Rule("–∏", "…™"), Rule("—ñ", "i"),
+    Rule("–æ", "…î"), Rule("—É", "u"),
+    Rule("–±", "b"), Rule("–≤", " ã"), Rule("–≥", "…¶"), Rule("“ë", "…°"),
+    Rule("–¥", "d"), Rule("–∂", " í"), Rule("–∑", "z"), Rule("–π", "j"),
+    Rule("–∫", "k"), Rule("–ª", "l"), Rule("–º", "m"), Rule("–Ω", "n"),
+    Rule("–ø", "p"), Rule("—Ä", "r"), Rule("—Å", "s"), Rule("—Ç", "t"),
+    Rule("—Ñ", "f"), Rule("—Ö", "x"), Rule("—Ü", "ts"), Rule("—á", "t É"),
+    Rule("—à", " É"), Rule("—â", " Ét É"), Rule("—å", ""),
+]
+
+_UK_DIGITS = ["–Ω—É–ª—å", "–æ–¥–∏–Ω", "–¥–≤–∞", "—Ç—Ä–∏", "—á–æ—Ç–∏—Ä–∏", "–ø'—è—Ç—å", "—à—ñ—Å—Ç—å",
+              "—Å—ñ–º", "–≤—ñ—Å—ñ–º", "–¥–µ–≤'—è—Ç—å"]
+
+# ---------------------------------------------------------------------------
 # Portuguese (eu/br approximation; nasals modeled, reduction not)
 # ---------------------------------------------------------------------------
 
@@ -429,15 +535,22 @@ _PT_RULES = [
     Rule("am", "…êÃÉw", post="$"), Rule("em", "eÃÉj", post="$"),
     Rule("an", "…êÃÉ", post="[^aeiou√°√©√≠√≥√∫]"), Rule("am", "…êÃÉ", post="[pb]"),
     Rule("en", "eÃÉ", post="[^aeiou√°√©√≠√≥√∫]"), Rule("em", "eÃÉ", post="[pb]"),
-    Rule("in", "iÃÉ", post="[^aeiou√°√©√≠√≥√∫]"), Rule("im", "iÃÉ", post="[pb$]"),
-    Rule("on", "oÃÉ", post="[^aeiou√°√©√≠√≥√∫]"), Rule("om", "oÃÉ", post="[pb$]"),
-    Rule("un", "uÃÉ", post="[^aeiou√°√©√≠√≥√∫]"), Rule("um", "uÃÉ", post="[pb$]"),
+    # word-final im/om/um nasalize (sim, bom, um); the [pb] context is a
+    # separate rule because $ inside a character class is a literal dollar
+    Rule("in", "iÃÉ", post="[^aeiou√°√©√≠√≥√∫]"),
+    Rule("im", "iÃÉ", post="$"), Rule("im", "iÃÉ", post="[pb]"),
+    Rule("on", "oÃÉ", post="[^aeiou√°√©√≠√≥√∫]"),
+    Rule("om", "oÃÉ", post="$"), Rule("om", "oÃÉ", post="[pb]"),
+    Rule("un", "uÃÉ", post="[^aeiou√°√©√≠√≥√∫]"),
+    Rule("um", "uÃÉ", post="$"), Rule("um", "uÃÉ", post="[pb]"),
     Rule("c", "s", post="[e√©√™i√≠]"), Rule("√ß", "s"), Rule("c", "k"),
     Rule("g", " í", post="[e√©√™i√≠]"), Rule("g", "…°"), Rule("j", " í"),
     Rule("x", " É"), Rule("z", "z"), Rule("h", ""),
     Rule("s", "z", pre="[aeiou√°√©√≠√≥√∫√¢√™√¥]", post="[aeiou√°√©√≠√≥√∫√¢√™√¥]"),
     Rule("s", " É", post="$"), Rule("s", "s"),
-    Rule("r", " Å", pre="^"), Rule("r", "…æ"),
+    Rule("oi", "oj"), Rule("ai", "aj"), Rule("ei", "ej"), Rule("au", "aw"),
+    Rule("e", "…õ", post="r$"),  # colher, mulher
+    Rule("r", " Å", pre="^"), Rule("r", " Å", post="$"), Rule("r", "…æ"),
     Rule("o", "u", post="$"), Rule("e", "i", post="$"),
     Rule("a", "…ê", post="$"),
     Rule("a", "a"), Rule("e", "e"), Rule("i", "i"), Rule("o", "o"),
@@ -463,6 +576,8 @@ _FR_LEXICON = {
     "tes": "te", "ses": "se", "ces": "se", "est-ce": "…õs", "monsieur": "m…ôsj√∏",
     "eu": "y", "eux": "√∏", "deux": "d√∏", "dix": "dis", "six": "sis",
     "huit": "…•it", "oui": "wi", "femme": "fam", "fils": "fis",
+    "vingt": "v…õÃÉ", "soixante": "swas…ëÃÉt", "mille": "mil", "onze": "…îÃÉz",
+    "temps": "t…ëÃÉ", "blanc": "bl…ëÃÉ", "ville": "vil", "tranquille": "t Å…ëÃÉkil",
 }
 
 # elided clitics before an apostrophe (c'est, j'ai, qu'il ...)
@@ -497,6 +612,9 @@ _FR_RULES = [
     Rule("es", "", post="$", pre="[^aeiou]"),  # silent plural/verb endings
     Rule("er", "e", post="$"), Rule("ez", "e", post="$"),
     Rule("et", "…õ", post="$"),
+    # final e is silent when the word has an earlier vowel (rouge ->  Åu í);
+    # monosyllables keep their schwa (le, de, que)
+    Rule("e", "", post="$", pre="[aeiouy√©√®√™√´√†√¢√Æ√Ø√¥√ª√π].*"),
     Rule("e", "…ô", post="$"),
     Rule("s", "", post="$"), Rule("t", "", post="$"), Rule("d", "", post="$"),
     Rule("p", "", post="$"), Rule("x", "", post="$"), Rule("z", "", post="$"),
@@ -583,7 +701,7 @@ def _vi_syllable(syl: str) -> str:
             # c/k/g spelling conventions: "gi" before vowel keeps /z/; "q"
             # only occurs as "qu"
             if src == "gi" and len(word) == 2:  # "g√¨" -> /zi/
-                return "zi" + _VI_TONE_CONTOUR[tone]
+                return "zi" + _VI_TONE_CONTOUR[tone]  # open syllable: no coda
             out.append(ipa)
             i = len(src)
             break
@@ -602,7 +720,10 @@ def _vi_syllable(syl: str) -> str:
     if not nucleus:  # grapheme-by-grapheme fallback
         table = dict(_VI_RIMES)
         nucleus = "".join(table.get(c, "") for c in rest)
-    return "".join(out) + nucleus + _VI_TONE_CONTOUR[tone] + coda
+    # tone contour after the full syllable (coda included) ‚Äî the position
+    # espeak's tone numbers occupy, which the reference's replacement table
+    # (TextFrontend.py:304-312) converts in place
+    return "".join(out) + nucleus + coda + _VI_TONE_CONTOUR[tone]
 
 
 def _vi_g2p(text: str) -> str:
@@ -617,33 +738,192 @@ def _vi_g2p(text: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Farsi (Persian script; VERDICT r03 #3).  Short vowels are unwritten in
+# Persian orthography, so no rule system can recover them ‚Äî the strategy
+# here (explicitly sanctioned quality carve-out) is: (1) a frequent-word
+# lexicon with the correct vowels, (2) the long vowels that ARE written
+# (ÿ¢/ÿß = …í, Ÿà = u, €å = i) read from the script, (3) everything else keeps
+# its consonant skeleton with an epenthetic /√¶/ inserted between adjacent
+# consonants (except a word-final cluster once a vowel exists ‚Äî Persian
+# allows CVCC), which yields the right consonants and syllable count with
+# a default vowel quality.  Harakat diacritics are honored when present.
+# Stress is word-final (the common Persian pattern).
+# ---------------------------------------------------------------------------
+
+_FA_CONS = {
+    "ÿ®": "b", "Ÿæ": "p", "ÿ™": "t", "ÿ´": "s", "ÿ¨": "d í", "⁄Ü": "t É",
+    "ÿ≠": "h", "ÿÆ": "x", "ÿØ": "d", "ÿ∞": "z", "ÿ±": "r", "ÿ≤": "z",
+    "⁄ò": " í", "ÿ≥": "s", "ÿ¥": " É", "ÿµ": "s", "ÿ∂": "z", "ÿ∑": "t",
+    "ÿ∏": "z", "ÿπ": " î", "ÿ∫": "…£", "ŸÅ": "f", "ŸÇ": "…£", "⁄©": "k",
+    "ŸÉ": "k", "⁄Ø": "…°", "ŸÑ": "l", "ŸÖ": "m", "ŸÜ": "n", "ÿ°": " î",
+    "ÿ¶": " î", "ÿ§": " î", "ÿ©": "t",
+}
+
+_FA_HARAKAT = {"Ÿé": "√¶", "Ÿê": "e", "Ÿè": "o",
+               "Ÿã": "√¶n", "Ÿí": ""}  # fatha kasra damma tanwin sukun
+
+_FA_VOWEL_IPA = set("√¶eo…íiu")
+
+# frequent words with their true vowels (Tehrani colloquial-formal mix);
+# includes the numeral words frontend/numbers.py emits so numbers read
+# with correct vowels rather than the skeleton default
+_FA_LEXICON = {
+    "ÿ≥ŸÑÿßŸÖ": "s√¶l…ím", "ŸÖŸÜ": "m√¶n", "ÿ™Ÿà": "to", "ÿßŸà": "u", "ŸÖÿß": "m…í",
+    "ÿ¥ŸÖÿß": " Éom…í", "ÿ¢ŸÜŸáÿß": "…ính…í", "ÿßÿ≥ÿ™": "√¶st", "Ÿáÿ≥ÿ™": "h√¶st",
+    "ŸÜ€åÿ≥ÿ™": "nist", "ÿ®ŸàÿØ": "bud", "ÿ¥ÿØ": " Éod", "ÿ¥ŸàÿØ": " É√¶v√¶d",
+    "Ÿà": "v√¶", "ÿØÿ±": "d√¶r", "ÿ®Ÿá": "be", "ÿßÿ≤": "√¶z", "⁄©Ÿá": "ke",
+    "ÿ±ÿß": "r…í", "ÿ®ÿß": "b…í", "ÿ®ÿ±ÿß€å": "b√¶r…íje", "ÿß€åŸÜ": "in", "ÿ¢ŸÜ": "…ín",
+    "ŸáŸÖ": "h√¶m", "ÿ™ÿß": "t…í", "€åÿß": "j…í", "ÿß⁄Øÿ±": "√¶…°√¶r", "ŸàŸÑ€å": "v√¶li",
+    "ÿßŸÖÿß": "√¶mm…í", "Ÿæÿ≥": "p√¶s", "Ÿáÿ±": "h√¶r", "⁄ÜŸá": "t Ée", "⁄Ü€å": "t Éi",
+    "⁄©ÿ¨ÿß": "kod í…í", "⁄©€å": "kej", "⁄Üÿ±ÿß": "t Éer…í", "⁄Üÿ∑Ÿàÿ±": "t Éetor",
+    "ÿ®ŸÑŸá": "b√¶le", "ŸÜŸá": "n√¶", "ÿÆ€åŸÑ€å": "xejli", "ŸÖŸÖŸÜŸàŸÜ": "m√¶mnun",
+    "ŸÑÿ∑ŸÅÿß": "lotf√¶n", "ŸÑÿ∑ŸÅÿßŸã": "lotf√¶n", "ÿÆŸàÿ®": "xub", "ÿ®ÿØ": "b√¶d",
+    "ÿ®ÿ≤ÿ±⁄Ø": "bozor…°", "⁄©Ÿà⁄Ü⁄©": "kut É√¶k", "ŸÜŸà": "now", "⁄©ŸáŸÜŸá": "kohne",
+    "ÿ¢ÿ®": "…íb", "ŸÜÿßŸÜ": "n…ín", "ÿÆÿßŸÜŸá": "x…íne", "ÿ¥Ÿáÿ±": " É√¶hr",
+    "⁄©ÿ¥Ÿàÿ±": "ke Év√¶r", "⁄©ÿ™ÿßÿ®": "ket…íb", "ÿ±Ÿàÿ≤": "ruz", "ÿ¥ÿ®": " É√¶b",
+    "ÿ≥ÿßŸÑ": "s…íl", "ŸÖÿßŸá": "m…íh", "ŸáŸÅÿ™Ÿá": "h√¶fte", "ÿßŸÖÿ±Ÿàÿ≤": "emruz",
+    "ŸÅÿ±ÿØÿß": "f√¶rd…í", "ÿØ€åÿ±Ÿàÿ≤": "diruz", "ÿ≠ÿßŸÑ": "h…íl", "ÿÆŸàÿ¥": "xo É",
+    "ÿØŸàÿ≥ÿ™": "dust", "ŸÖÿ±ÿØ": "m√¶rd", "ÿ≤ŸÜ": "z√¶n", "ÿ®⁄ÜŸá": "b√¶t Ét Ée",
+    "ŸæÿØÿ±": "ped√¶r", "ŸÖÿßÿØÿ±": "m…íd√¶r", "ÿ®ÿ±ÿßÿØÿ±": "b√¶r…íd√¶r",
+    "ÿÆŸàÿßŸáÿ±": "x…íh√¶r", "ÿßÿ≥ŸÖ": "esm", "ÿ≤ÿ®ÿßŸÜ": "z√¶b…ín",
+    "ŸÅÿßÿ±ÿ≥€å": "f…írsi", "ÿß€åÿ±ÿßŸÜ": "ir…ín", "ÿ™Ÿáÿ±ÿßŸÜ": "tehr…ín",
+    "ÿØÿßÿ±ŸÖ": "d…ír√¶m", "ÿØÿßÿ±€å": "d…íri", "ÿØÿßÿ±ÿØ": "d…ír√¶d",
+    "ÿØÿßÿ±€åŸÖ": "d…írim", "ÿØÿßÿ±€åÿØ": "d…írid", "ÿØÿßÿ±ŸÜÿØ": "d…ír√¶nd",
+    "ÿ±ŸÅÿ™": "r√¶ft", "ÿ¢ŸÖÿØ": "…ím√¶d", "⁄ØŸÅÿ™": "…°oft", "⁄©ÿ±ÿØ": "k√¶rd",
+    "⁄©ÿ±ÿØŸÜ": "k√¶rd√¶n", "ÿ®ŸàÿØŸÜ": "bud√¶n", "ÿ¥ÿØŸÜ": " Éod√¶n",
+    "ŸÖ€å": "mi", "ŸÜŸÖ€å": "nemi", "ÿ®€å": "bi", "ÿ®ÿß‚ÄåŸáŸÖ": "b…íh√¶m",
+    # numerals (frontend/numbers.py output)
+    "ÿµŸÅÿ±": "sefr", "€å⁄©": "jek", "ÿØŸà": "do", "ÿ≥Ÿá": "se",
+    "⁄ÜŸáÿßÿ±": "t É√¶h…ír", "ŸæŸÜÿ¨": "p√¶nd í", "ÿ¥ÿ¥": " Ée É", "ŸáŸÅÿ™": "h√¶ft",
+    "Ÿáÿ¥ÿ™": "h√¶ Ét", "ŸÜŸèŸá": "noh", "ÿØŸá": "d√¶h", "€åÿßÿ≤ÿØŸá": "j…ízd√¶h",
+    "ÿØŸàÿßÿ≤ÿØŸá": "d√¶v…ízd√¶h", "ÿ≥€åÿ≤ÿØŸá": "sizd√¶h", "⁄ÜŸáÿßÿ±ÿØŸá": "t É√¶h…írd√¶h",
+    "ŸæÿßŸÜÿ≤ÿØŸá": "p…ínzd√¶h", "ÿ¥ÿßŸÜÿ≤ÿØŸá": " É…ínzd√¶h", "ŸáŸÅÿØŸá": "hefd√¶h",
+    "Ÿáÿ¨ÿØŸá": "hed íd√¶h", "ŸÜŸàÿ≤ÿØŸá": "nuzd√¶h", "ÿ®€åÿ≥ÿ™": "bist", "ÿ≥€å": "si",
+    "⁄ÜŸáŸÑ": "t Éehel", "ŸæŸÜÿ¨ÿßŸá": "p√¶nd í…íh", "ÿ¥ÿµÿ™": " É√¶st",
+    "ŸáŸÅÿ™ÿßÿØ": "h√¶ft…íd", "Ÿáÿ¥ÿ™ÿßÿØ": "h√¶ Ét…íd", "ŸÜŸàÿØ": "n√¶v√¶d",
+    "ÿµÿØ": "s√¶d", "ÿØŸà€åÿ≥ÿ™": "devist", "ÿ≥€åÿµÿØ": "sis√¶d",
+    "⁄ÜŸáÿßÿ±ÿµÿØ": "t É√¶h…írs√¶d", "ŸæÿßŸÜÿµÿØ": "p…íns√¶d", "ÿ¥ÿ¥ÿµÿØ": " Ée És√¶d",
+    "ŸáŸÅÿ™ÿµÿØ": "h√¶fts√¶d", "Ÿáÿ¥ÿ™ÿµÿØ": "h√¶ Éts√¶d", "ŸÜŸáÿµÿØ": "nohs√¶d",
+    "Ÿáÿ≤ÿßÿ±": "hez…ír",
+}
+# the bare letter ŸÜŸá is both "no" (n√¶) and "nine" (noh); numbers.py emits
+# the disambiguated ŸÜŸèŸá, while plain text ŸÜŸá reads as the far more common
+# negation
+
+_FA_DIGITS = ["ÿµŸÅÿ±", "€å⁄©", "ÿØŸà", "ÿ≥Ÿá", "⁄ÜŸáÿßÿ±", "ŸæŸÜÿ¨", "ÿ¥ÿ¥", "ŸáŸÅÿ™", "Ÿáÿ¥ÿ™",
+              "ŸÜŸá"]
+
+
+def _fa_word(word: str) -> str:
+    """One Persian-script word -> IPA (lexicon, then skeleton transducer)."""
+    if word in _FA_LEXICON:
+        return _FA_LEXICON[word]
+    chars = [c for c in word if c != "ŸÄ"]  # strip tatweel
+    phones: List[str] = []
+    i = 0
+    while i < len(chars):
+        ch = chars[i]
+        nxt = chars[i + 1] if i + 1 < len(chars) else ""
+        prev_v = bool(phones) and phones[-1][-1] in _FA_VOWEL_IPA
+        if ch == "ÿ¢":
+            phones.append("…í")
+        elif ch == "ÿß":
+            if i == 0:
+                # initial alef carries an unwritten short vowel ‚Äî unless a
+                # written long vowel (Ÿà/€å) or a harakat follows
+                if nxt not in ("Ÿà", "€å") and nxt not in _FA_HARAKAT:
+                    phones.append("√¶")
+            else:
+                phones.append("…í")
+        elif ch == "Ÿà":
+            if i == 0:
+                phones.append("v")
+            elif prev_v:
+                phones.append("v")
+            else:
+                phones.append("u")
+        elif ch == "€å":
+            if i == 0:
+                phones.append("j")
+            elif prev_v:
+                phones.append("j")
+            else:
+                phones.append("i")
+        elif ch == "Ÿá":
+            if i == len(chars) - 1 and not prev_v and len(chars) > 1:
+                phones.append("e")  # silent final he = -e
+            else:
+                phones.append("h")
+        elif ch in _FA_HARAKAT:
+            if _FA_HARAKAT[ch]:
+                phones.append(_FA_HARAKAT[ch])
+        elif ch == "Ÿë":  # shadda: geminate the previous consonant
+            if phones and phones[-1][-1] not in _FA_VOWEL_IPA:
+                phones.append(phones[-1])
+        elif ch in _FA_CONS:
+            phones.append(_FA_CONS[ch])
+        i += 1
+    # epenthesis: break consonant clusters with /√¶/ (no initial clusters in
+    # Persian; final CVCC is allowed once the word has a vowel)
+    out: List[str] = []
+    for k, p in enumerate(phones):
+        if out and out[-1][-1] not in _FA_VOWEL_IPA \
+                and p[0] not in _FA_VOWEL_IPA:
+            is_last = k == len(phones) - 1
+            has_vowel = any(c in _FA_VOWEL_IPA for seg in out for c in seg)
+            if not (is_last and has_vowel):
+                out.append("√¶")
+        out.append(p)
+    ipa = "".join(out)
+    # a word of bare consonants (e.g. a lone letter) still needs a nucleus
+    if ipa and not any(c in _FA_VOWEL_IPA for c in ipa):
+        ipa += "√¶"
+    return ipa
+
+
+def _fa_g2p(text: str) -> str:
+    parts = []
+    for token in re.split(r"([\s‚Äå]+)", text):
+        if not token or re.match(r"[\s‚Äå]+$", token):
+            parts.append(" ")
+            continue
+        m = re.match(r"(\W*)([\w]*)(\W*)$", token, re.UNICODE)
+        lead, core, trail = m.groups() if m else ("", token, "")
+        if core:
+            core = stress_final(core, _fa_word(core))
+        parts.append(lead + core + trail)
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=None)
 def _language(lang: str) -> Language:
-    table: Dict[str, Tuple[list, Callable, list]] = {
-        "es": (_ES_RULES, stress_spanish, _ES_DIGITS),
-        "it": (_IT_RULES, stress_italian, _IT_DIGITS),
-        "fi": (_FI_RULES, stress_initial, _FI_DIGITS),
-        "el": (_EL_RULES, stress_marked_only, _EL_DIGITS),
-        "hu": (_HU_RULES, stress_initial, _HU_DIGITS),
-        "pl": (_PL_RULES, stress_penult, _PL_DIGITS),
-        "nl": (_NL_RULES, stress_initial, _NL_DIGITS),
-        "de": (_DE_RULES, stress_initial, _DE_DIGITS),
-        "ru": (_RU_RULES, stress_marked_only, _RU_DIGITS),
-        "pt": (_PT_RULES, stress_portuguese, _PT_DIGITS),
-        "pt-br": (_PT_RULES, stress_portuguese, _PT_DIGITS),
-        "fr": (_FR_RULES, stress_french, _FR_DIGITS),
+    table: Dict[str, Tuple[list, Callable, list, dict]] = {
+        "es": (_ES_RULES, stress_spanish, _ES_DIGITS, {}),
+        "it": (_IT_RULES, stress_italian, _IT_DIGITS, {}),
+        "fi": (_FI_RULES, stress_initial, _FI_DIGITS, {}),
+        "el": (_EL_RULES, stress_marked_only, _EL_DIGITS, {}),
+        "hu": (_HU_RULES, stress_initial, _HU_DIGITS, {}),
+        "pl": (_PL_RULES, stress_penult, _PL_DIGITS, {}),
+        "nl": (_NL_RULES, stress_initial, _NL_DIGITS, {}),
+        "de": (_DE_RULES, stress_initial, _DE_DIGITS, _DE_LEXICON),
+        "ru": (_RU_RULES, stress_marked_only, _RU_DIGITS, {}),
+        "uk": (_UK_RULES, stress_marked_only, _UK_DIGITS, {}),
+        "pt": (_PT_RULES, stress_portuguese, _PT_DIGITS, {}),
+        "pt-br": (_PT_RULES, stress_portuguese, _PT_DIGITS, {}),
+        "fr": (_FR_RULES, stress_french, _FR_DIGITS, _FR_LEXICON),
     }
-    rules, stress, digits = table[lang]
-    return Language(RuleSet(rules), stress, digits)
+    rules, stress, digits, lexicon = table[lang]
+    return Language(RuleSet(rules), stress, digits, lexicon)
 
 
 RULE_G2P_LANGUAGES = ("es", "it", "fi", "el", "hu", "pl", "nl", "de", "ru",
-                      "pt", "pt-br", "fr", "vi")
+                      "uk", "pt", "pt-br", "fr", "vi", "fa")
 
-_WORD_RX = re.compile(r"[^\W\d_]+(?:['-][^\W\d_]+)*", re.UNICODE)
+_WORD_RX = re.compile(r"[^\W\d_]+(?:['‚Äô-][^\W\d_]+)*", re.UNICODE)
 
 # The inventory expresses nasality as a combining-tilde modifier on the
 # preceding vowel; decompose any precomposed codepoint a ruleset emitted.
@@ -653,34 +933,60 @@ _PRECOMPOSED = str.maketrans({
 })
 
 
+def _expand_numbers(text: str, lang: str, digits: Sequence[str]) -> str:
+    """Replace integer tokens with full numerals (frontend/numbers.py,
+    espeak behavior); out-of-range or unsupported -> digit-by-digit."""
+    from toucan_tpu.frontend.numbers import MAX_NUMBER, number_to_words
+
+    def read(m):
+        s = m.group(0)
+        n = int(s)
+        # a leading zero means a code/phone-number-style string: read
+        # digit-by-digit like espeak does
+        if n <= MAX_NUMBER and not (s[0] == "0" and len(s) > 1):
+            try:
+                return " " + number_to_words(n, lang) + " "
+            except KeyError:
+                pass
+        return " " + " ".join(digits[int(d)] for d in s) + " "
+
+    return re.sub(r"\d+", read, text)
+
+
 def phonemize_rules(text: str, lang: str) -> str:
     """Plain text -> IPA (with stress marks / tone contours) for ``lang``.
 
-    Word-by-word: letters phonemize through the language's ruleset; digits
-    read digit-by-digit; punctuation passes through for the frontend's
-    pause handling (``postprocess_phoneme_string``)."""
+    Word-by-word: letters phonemize through the language's ruleset (or the
+    vi/fa custom transducers); numbers read as full numerals; punctuation
+    passes through for the frontend's pause handling
+    (``postprocess_phoneme_string``)."""
     if lang == "vi":
+        text = _expand_numbers(text, lang, _VI_DIGITS)
         return _vi_g2p(text).translate(_PRECOMPOSED)
+    if lang == "fa":
+        text = _expand_numbers(text, lang, _FA_DIGITS)
+        return _fa_g2p(text).translate(_PRECOMPOSED)
     spec = _language(lang)
-    lexicon = _FR_LEXICON if lang == "fr" else {}
+    lexicon = spec.lexicon
 
-    def read_digits(m):
-        return " " + " ".join(spec.digits[int(d)] for d in m.group(0)) + " "
-
-    text = re.sub(r"\d+", read_digits, text.lower())
+    text = _expand_numbers(text.lower(), lang, spec.digits)
 
     def convert(m):
         if m.group(0) in lexicon:
             return spec.stress(m.group(0), lexicon[m.group(0)])
-        # apostrophes delimit clitics (French c'est = c' + est: each part
-        # phonemizes with its own contexts); hyphens just join
-        parts = [p for p in m.group(0).replace("-", "").split("'") if p]
+        # apostrophes delimit clitics (French c'est = c' + est) and block
+        # palatalization in Ukrainian (–ø'—è—Ç—å); hyphens delimit compound
+        # members (quatre-vingt-dix-neuf): each part phonemizes with its
+        # own word-boundary contexts and lexicon lookup
+        word = m.group(0).replace("‚Äô", "'")
+        parts = [p for p in re.split(r"['-]", word) if p]
         ipa = ""
         for pi, p in enumerate(parts):
-            if lang == "fr" and pi < len(parts) - 1 and p in _FR_CLITICS:
+            if lang == "fr" and pi < len(parts) - 1 and p in _FR_CLITICS \
+                    and "'" in word:
                 ipa += _FR_CLITICS[p]  # elided clitic keeps only its onset
             else:
                 ipa += lexicon.get(p, spec.rules.apply(p))
-        return spec.stress(m.group(0).replace("'", "").replace("-", ""), ipa)
+        return spec.stress(word.replace("'", "").replace("-", ""), ipa)
 
     return _WORD_RX.sub(convert, text).translate(_PRECOMPOSED)

@@ -1,0 +1,515 @@
+"""Full-numeral number reading for the first-party G2P languages.
+
+The reference reads numbers through espeak-ng's per-language numeral
+expansion (behind ``Preprocessing/TextFrontend.py:298`` — espeak reads
+"25" as "veinticinco", "1984" as a full German numeral).  Round 3's rule
+G2P read digits one by one ("dos cinco"), a user-audible regression for
+dates, years and prices; this module closes it with per-language number
+grammars (VERDICT r03 #4).
+
+``number_to_words(n, lang)`` covers 0..999 999 for every rule-G2P
+language (es it fi el hu pl nl de ru pt pt-br fr vi uk fa) — the output is
+ORTHOGRAPHIC text in the language's own script, which then flows through
+the same ruleset/lexicon path as any other word (so the IPA stays
+consistent with the rest of the G2P).  English has its own reader in
+``frontend/g2p_en.py::number_to_words`` (same contract).
+
+Slavic thousands use the correct plural class (tysiąc/tysiące/tysięcy,
+тысяча/тысячи/тысяч); Romance hundreds use the irregular forms
+(quinientos, seicento...); Germanic composition is unit-before-ten
+(einundzwanzig, drieëntwintig).  Documented simplifications: French
+"deux cent" is written without the plural -s (inaudible), Vietnamese
+reads 4 as "bốn" in all positions (colloquial "tư" after mươi is
+skipped), Greek uses the neuter forms throughout.
+"""
+
+from __future__ import annotations
+
+# ------------------------------------------------------------------ Spanish
+
+_ES_UNITS = ["cero", "uno", "dos", "tres", "cuatro", "cinco", "seis",
+             "siete", "ocho", "nueve", "diez", "once", "doce", "trece",
+             "catorce", "quince", "dieciséis", "diecisiete", "dieciocho",
+             "diecinueve", "veinte", "veintiuno", "veintidós", "veintitrés",
+             "veinticuatro", "veinticinco", "veintiséis", "veintisiete",
+             "veintiocho", "veintinueve"]
+_ES_TENS = [None, None, None, "treinta", "cuarenta", "cincuenta", "sesenta",
+            "setenta", "ochenta", "noventa"]
+_ES_HUNDREDS = [None, "ciento", "doscientos", "trescientos",
+                "cuatrocientos", "quinientos", "seiscientos", "setecientos",
+                "ochocientos", "novecientos"]
+
+
+def _es(n: int) -> str:
+    if n < 30:
+        return _ES_UNITS[n]
+    if n < 100:
+        t, u = divmod(n, 10)
+        return _ES_TENS[t] + (f" y {_ES_UNITS[u]}" if u else "")
+    if n < 1000:
+        h, r = divmod(n, 100)
+        if n == 100:
+            return "cien"
+        return _ES_HUNDREDS[h] + (f" {_es(r)}" if r else "")
+    th, r = divmod(n, 1000)
+    head = "mil" if th == 1 else f"{_es(th)} mil"
+    return head + (f" {_es(r)}" if r else "")
+
+
+# ------------------------------------------------------------------ Italian
+
+_IT_UNITS = ["zero", "uno", "due", "tre", "quattro", "cinque", "sei",
+             "sette", "otto", "nove", "dieci", "undici", "dodici", "tredici",
+             "quattordici", "quindici", "sedici", "diciassette", "diciotto",
+             "diciannove"]
+_IT_TENS = [None, None, "venti", "trenta", "quaranta", "cinquanta",
+            "sessanta", "settanta", "ottanta", "novanta"]
+
+
+def _it(n: int) -> str:
+    if n < 20:
+        return _IT_UNITS[n]
+    if n < 100:
+        t, u = divmod(n, 10)
+        tens = _IT_TENS[t]
+        if u in (1, 8):  # elision: ventuno, ventotto
+            tens = tens[:-1]
+        unit = _IT_UNITS[u] if u else ""
+        if u == 3:
+            unit = "tré"  # ventitré (accented in composition)
+        return tens + unit
+    if n < 1000:
+        h, r = divmod(n, 100)
+        head = ("cento" if h == 1 else _IT_UNITS[h] + "cento")
+        rest = _it(r) if r else ""
+        if rest.startswith("o"):  # centottanta elision
+            head = head[:-1]
+        return head + rest
+    th, r = divmod(n, 1000)
+    head = "mille" if th == 1 else f"{_it(th)}mila"
+    return head + (_it(r) if r else "")
+
+
+# ------------------------------------------------------------------ French
+
+_FR_UNITS = ["zéro", "un", "deux", "trois", "quatre", "cinq", "six", "sept",
+             "huit", "neuf", "dix", "onze", "douze", "treize", "quatorze",
+             "quinze", "seize", "dix-sept", "dix-huit", "dix-neuf"]
+_FR_TENS = [None, None, "vingt", "trente", "quarante", "cinquante",
+            "soixante"]
+
+
+def _fr(n: int) -> str:
+    if n < 20:
+        return _FR_UNITS[n]
+    if n < 70:
+        t, u = divmod(n, 10)
+        if u == 1:
+            return f"{_FR_TENS[t]} et un"
+        return _FR_TENS[t] + (f"-{_FR_UNITS[u]}" if u else "")
+    if n < 80:  # soixante-dix .. soixante-dix-neuf (vigesimal tail)
+        if n == 71:
+            return "soixante et onze"
+        return "soixante-" + _FR_UNITS[n - 60]
+    if n < 100:
+        if n == 80:
+            return "quatre-vingts"
+        return "quatre-vingt-" + _FR_UNITS[n - 80]
+    if n < 1000:
+        h, r = divmod(n, 100)
+        head = "cent" if h == 1 else f"{_FR_UNITS[h]} cent"
+        return head + (f" {_fr(r)}" if r else "")
+    th, r = divmod(n, 1000)
+    head = "mille" if th == 1 else f"{_fr(th)} mille"
+    return head + (f" {_fr(r)}" if r else "")
+
+
+# --------------------------------------------------------------- Portuguese
+
+_PT_UNITS = ["zero", "um", "dois", "três", "quatro", "cinco", "seis",
+             "sete", "oito", "nove", "dez", "onze", "doze", "treze",
+             "catorze", "quinze", "dezesseis", "dezessete", "dezoito",
+             "dezenove"]
+_PT_TENS = [None, None, "vinte", "trinta", "quarenta", "cinquenta",
+            "sessenta", "setenta", "oitenta", "noventa"]
+_PT_HUNDREDS = [None, "cento", "duzentos", "trezentos", "quatrocentos",
+                "quinhentos", "seiscentos", "setecentos", "oitocentos",
+                "novecentos"]
+
+
+def _pt(n: int) -> str:
+    if n < 20:
+        return _PT_UNITS[n]
+    if n < 100:
+        t, u = divmod(n, 10)
+        return _PT_TENS[t] + (f" e {_PT_UNITS[u]}" if u else "")
+    if n < 1000:
+        if n == 100:
+            return "cem"
+        h, r = divmod(n, 100)
+        return _PT_HUNDREDS[h] + (f" e {_pt(r)}" if r else "")
+    th, r = divmod(n, 1000)
+    head = "mil" if th == 1 else f"{_pt(th)} mil"
+    if not r:
+        return head
+    # "e" after mil only before a final group under 100 or exact hundreds
+    joiner = " e " if (r < 100 or r % 100 == 0) else " "
+    return head + joiner + _pt(r)
+
+
+# ------------------------------------------------------------------- German
+
+_DE_UNITS = ["null", "eins", "zwei", "drei", "vier", "fünf", "sechs",
+             "sieben", "acht", "neun", "zehn", "elf", "zwölf", "dreizehn",
+             "vierzehn", "fünfzehn", "sechzehn", "siebzehn", "achtzehn",
+             "neunzehn"]
+_DE_TENS = [None, None, "zwanzig", "dreißig", "vierzig", "fünfzig",
+            "sechzig", "siebzig", "achtzig", "neunzig"]
+
+
+def _de(n: int) -> str:
+    if n < 20:
+        return _DE_UNITS[n]
+    if n < 100:
+        t, u = divmod(n, 10)
+        if not u:
+            return _DE_TENS[t]
+        unit = "ein" if u == 1 else _DE_UNITS[u]
+        return f"{unit}und{_DE_TENS[t]}"
+    if n < 1000:
+        h, r = divmod(n, 100)
+        head = ("ein" if h == 1 else _DE_UNITS[h]) + "hundert"
+        return head + (_de(r) if r else "")
+    th, r = divmod(n, 1000)
+    head = ("ein" if th == 1 else _de(th)) + "tausend"
+    return head + (_de(r) if r else "")
+
+
+# -------------------------------------------------------------------- Dutch
+
+_NL_UNITS = ["nul", "een", "twee", "drie", "vier", "vijf", "zes", "zeven",
+             "acht", "negen", "tien", "elf", "twaalf", "dertien", "veertien",
+             "vijftien", "zestien", "zeventien", "achttien", "negentien"]
+_NL_TENS = [None, None, "twintig", "dertig", "veertig", "vijftig", "zestig",
+            "zeventig", "tachtig", "negentig"]
+
+
+def _nl(n: int) -> str:
+    if n < 20:
+        return _NL_UNITS[n]
+    if n < 100:
+        t, u = divmod(n, 10)
+        if not u:
+            return _NL_TENS[t]
+        unit = _NL_UNITS[u]
+        joiner = "ën" if unit[-1] in "aeiou" else "en"  # tweeëntwintig
+        return f"{unit}{joiner}{_NL_TENS[t]}"
+    if n < 1000:
+        h, r = divmod(n, 100)
+        head = ("honderd" if h == 1 else _NL_UNITS[h] + "honderd")
+        return head + (_nl(r) if r else "")
+    th, r = divmod(n, 1000)
+    head = "duizend" if th == 1 else f"{_nl(th)}duizend"
+    return head + (f" {_nl(r)}" if r else "")
+
+
+# ------------------------------------------------------------------ Finnish
+
+_FI_UNITS = ["nolla", "yksi", "kaksi", "kolme", "neljä", "viisi", "kuusi",
+             "seitsemän", "kahdeksan", "yhdeksän", "kymmenen"]
+
+
+def _fi(n: int) -> str:
+    if n <= 10:
+        return _FI_UNITS[n]
+    if n < 20:
+        return _FI_UNITS[n - 10] + "toista"
+    if n < 100:
+        t, u = divmod(n, 10)
+        return _FI_UNITS[t] + "kymmentä" + (_FI_UNITS[u] if u else "")
+    if n < 1000:
+        h, r = divmod(n, 100)
+        head = "sata" if h == 1 else _FI_UNITS[h] + "sataa"
+        return head + (_fi(r) if r else "")
+    th, r = divmod(n, 1000)
+    head = "tuhat" if th == 1 else f"{_fi(th)}tuhatta"
+    return head + (_fi(r) if r else "")
+
+
+# ---------------------------------------------------------------- Hungarian
+
+_HU_UNITS = ["nulla", "egy", "kettő", "három", "négy", "öt", "hat", "hét",
+             "nyolc", "kilenc", "tíz"]
+_HU_TEEN = ["", "tizenegy", "tizenkettő", "tizenhárom", "tizennégy",
+            "tizenöt", "tizenhat", "tizenhét", "tizennyolc", "tizenkilenc"]
+_HU_TENS = [None, None, "húsz", "harminc", "negyven", "ötven", "hatvan",
+            "hetven", "nyolcvan", "kilencven"]
+_HU_TWENTY = ["", "huszonegy", "huszonkettő", "huszonhárom", "huszonnégy",
+              "huszonöt", "huszonhat", "huszonhét", "huszonnyolc",
+              "huszonkilenc"]
+
+
+def _hu(n: int) -> str:
+    if n <= 10:
+        return _HU_UNITS[n]
+    if n < 20:
+        return _HU_TEEN[n - 10]
+    if n < 30:
+        return "húsz" if n == 20 else _HU_TWENTY[n - 20]
+    if n < 100:
+        t, u = divmod(n, 10)
+        return _HU_TENS[t] + (_HU_UNITS[u] if u else "")
+    if n < 1000:
+        h, r = divmod(n, 100)
+        head = ("száz" if h == 1
+                else ("két" if h == 2 else _HU_UNITS[h]) + "száz")
+        return head + (_hu(r) if r else "")
+    th, r = divmod(n, 1000)
+    head = ("ezer" if th == 1
+            else ("két" if th == 2 else _hu(th)) + "ezer")
+    return head + (_hu(r) if r else "")
+
+
+# -------------------------------------------------------------------- Greek
+
+_EL_UNITS = ["μηδέν", "ένα", "δύο", "τρία", "τέσσερα", "πέντε", "έξι",
+             "επτά", "οκτώ", "εννέα", "δέκα", "έντεκα", "δώδεκα"]
+_EL_TEEN = {13: "δεκατρία", 14: "δεκατέσσερα", 15: "δεκαπέντε",
+            16: "δεκαέξι", 17: "δεκαεπτά", 18: "δεκαοκτώ", 19: "δεκαεννέα"}
+_EL_TENS = [None, None, "είκοσι", "τριάντα", "σαράντα", "πενήντα",
+            "εξήντα", "εβδομήντα", "ογδόντα", "ενενήντα"]
+_EL_HUNDREDS = [None, "εκατό", "διακόσια", "τριακόσια", "τετρακόσια",
+                "πεντακόσια", "εξακόσια", "επτακόσια", "οκτακόσια",
+                "εννιακόσια"]
+
+
+def _el(n: int) -> str:
+    if n <= 12:
+        return _EL_UNITS[n]
+    if n < 20:
+        return _EL_TEEN[n]
+    if n < 100:
+        t, u = divmod(n, 10)
+        return _EL_TENS[t] + (f" {_EL_UNITS[u]}" if u else "")
+    if n < 1000:
+        h, r = divmod(n, 100)
+        head = _EL_HUNDREDS[h]
+        if h == 1 and r:
+            head = "εκατόν"
+        return head + (f" {_el(r)}" if r else "")
+    th, r = divmod(n, 1000)
+    head = "χίλια" if th == 1 else f"{_el(th)} χιλιάδες"
+    return head + (f" {_el(r)}" if r else "")
+
+
+# ------------------------------------------------------------------- Polish
+
+_PL_UNITS = ["zero", "jeden", "dwa", "trzy", "cztery", "pięć", "sześć",
+             "siedem", "osiem", "dziewięć", "dziesięć", "jedenaście",
+             "dwanaście", "trzynaście", "czternaście", "piętnaście",
+             "szesnaście", "siedemnaście", "osiemnaście", "dziewiętnaście"]
+_PL_TENS = [None, None, "dwadzieścia", "trzydzieści", "czterdzieści",
+            "pięćdziesiąt", "sześćdziesiąt", "siedemdziesiąt",
+            "osiemdziesiąt", "dziewięćdziesiąt"]
+_PL_HUNDREDS = [None, "sto", "dwieście", "trzysta", "czterysta", "pięćset",
+                "sześćset", "siedemset", "osiemset", "dziewięćset"]
+
+
+def _pl_thousand_form(th: int) -> str:
+    # Polish plural classes: 1 tysiąc; 2-4 (but not 12-14) tysiące; else tysięcy
+    if th == 1:
+        return "tysiąc"
+    if th % 10 in (2, 3, 4) and th % 100 not in (12, 13, 14):
+        return "tysiące"
+    return "tysięcy"
+
+
+def _pl(n: int) -> str:
+    if n < 20:
+        return _PL_UNITS[n]
+    if n < 100:
+        t, u = divmod(n, 10)
+        return _PL_TENS[t] + (f" {_PL_UNITS[u]}" if u else "")
+    if n < 1000:
+        h, r = divmod(n, 100)
+        return _PL_HUNDREDS[h] + (f" {_pl(r)}" if r else "")
+    th, r = divmod(n, 1000)
+    head = ("tysiąc" if th == 1
+            else f"{_pl(th)} {_pl_thousand_form(th)}")
+    return head + (f" {_pl(r)}" if r else "")
+
+
+# ------------------------------------------------------------------ Russian
+
+_RU_UNITS = ["ноль", "один", "два", "три", "четыре", "пять", "шесть",
+             "семь", "восемь", "девять", "десять", "одиннадцать",
+             "двенадцать", "тринадцать", "четырнадцать", "пятнадцать",
+             "шестнадцать", "семнадцать", "восемнадцать", "девятнадцать"]
+_RU_TENS = [None, None, "двадцать", "тридцать", "сорок", "пятьдесят",
+            "шестьдесят", "семьдесят", "восемьдесят", "девяносто"]
+_RU_HUNDREDS = [None, "сто", "двести", "триста", "четыреста", "пятьсот",
+                "шестьсот", "семьсот", "восемьсот", "девятьсот"]
+
+
+def _ru_under_1000(n: int, feminine=False) -> str:
+    parts = []
+    h, r = divmod(n, 100)
+    if h:
+        parts.append(_RU_HUNDREDS[h])
+    if r >= 20:
+        t, u = divmod(r, 10)
+        parts.append(_RU_TENS[t])
+        r = u
+    if r:
+        word = _RU_UNITS[r]
+        if feminine and r == 1:
+            word = "одна"
+        elif feminine and r == 2:
+            word = "две"
+        parts.append(word)
+    return " ".join(parts) if parts else _RU_UNITS[0]
+
+
+def _ru(n: int) -> str:
+    if n < 1000:
+        return _ru_under_1000(n)
+    th, r = divmod(n, 1000)
+    if th % 10 == 1 and th % 100 != 11:
+        form = "тысяча"
+    elif th % 10 in (2, 3, 4) and th % 100 not in (12, 13, 14):
+        form = "тысячи"
+    else:
+        form = "тысяч"
+    head = form if th == 1 else f"{_ru_under_1000(th, feminine=True)} {form}"
+    return head + (f" {_ru_under_1000(r)}" if r else "")
+
+
+# ---------------------------------------------------------------- Ukrainian
+
+_UK_UNITS = ["нуль", "один", "два", "три", "чотири", "п'ять", "шість",
+             "сім", "вісім", "дев'ять", "десять", "одинадцять",
+             "дванадцять", "тринадцять", "чотирнадцять", "п'ятнадцять",
+             "шістнадцять", "сімнадцять", "вісімнадцять", "дев'ятнадцять"]
+_UK_TENS = [None, None, "двадцять", "тридцять", "сорок", "п'ятдесят",
+            "шістдесят", "сімдесят", "вісімдесят", "дев'яносто"]
+_UK_HUNDREDS = [None, "сто", "двісті", "триста", "чотириста", "п'ятсот",
+                "шістсот", "сімсот", "вісімсот", "дев'ятсот"]
+
+
+def _uk_under_1000(n: int, feminine=False) -> str:
+    parts = []
+    h, r = divmod(n, 100)
+    if h:
+        parts.append(_UK_HUNDREDS[h])
+    if r >= 20:
+        t, u = divmod(r, 10)
+        parts.append(_UK_TENS[t])
+        r = u
+    if r:
+        word = _UK_UNITS[r]
+        if feminine and r == 1:
+            word = "одна"
+        elif feminine and r == 2:
+            word = "дві"
+        parts.append(word)
+    return " ".join(parts) if parts else _UK_UNITS[0]
+
+
+def _uk(n: int) -> str:
+    if n < 1000:
+        return _uk_under_1000(n)
+    th, r = divmod(n, 1000)
+    if th % 10 == 1 and th % 100 != 11:
+        form = "тисяча"
+    elif th % 10 in (2, 3, 4) and th % 100 not in (12, 13, 14):
+        form = "тисячі"
+    else:
+        form = "тисяч"
+    head = form if th == 1 else f"{_uk_under_1000(th, feminine=True)} {form}"
+    return head + (f" {_uk_under_1000(r)}" if r else "")
+
+
+# --------------------------------------------------------------- Vietnamese
+
+_VI_UNITS = ["không", "một", "hai", "ba", "bốn", "năm", "sáu", "bảy",
+             "tám", "chín"]
+
+
+def _vi(n: int) -> str:
+    if n < 10:
+        return _VI_UNITS[n]
+    if n < 20:
+        u = n - 10
+        unit = "lăm" if u == 5 else (_VI_UNITS[u] if u else "")
+        return ("mười " + unit).strip()
+    if n < 100:
+        t, u = divmod(n, 10)
+        unit = {1: "mốt", 5: "lăm"}.get(u, _VI_UNITS[u]) if u else ""
+        return f"{_VI_UNITS[t]} mươi" + (f" {unit}" if unit else "")
+    if n < 1000:
+        h, r = divmod(n, 100)
+        head = f"{_VI_UNITS[h]} trăm"
+        if not r:
+            return head
+        if r < 10:  # linh for skipped tens: 105 = một trăm linh năm
+            return f"{head} linh {_VI_UNITS[r]}"
+        return f"{head} {_vi(r)}"
+    th, r = divmod(n, 1000)
+    head = f"{_vi(th)} nghìn"
+    if not r:
+        return head
+    if r < 100:
+        return f"{head} không trăm {_vi(r)}" if r >= 10 else \
+            f"{head} không trăm linh {_VI_UNITS[r]}"
+    return f"{head} {_vi(r)}"
+
+
+# -------------------------------------------------------------------- Farsi
+
+_FA_UNITS = ["صفر", "یک", "دو", "سه", "چهار", "پنج", "شش", "هفت", "هشت",
+             "نه", "ده", "یازده", "دوازده", "سیزده", "چهارده", "پانزده",
+             "شانزده", "هفده", "هجده", "نوزده"]
+_FA_TENS = [None, None, "بیست", "سی", "چهل", "پنجاه", "شصت", "هفتاد",
+            "هشتاد", "نود"]
+_FA_HUNDREDS = [None, "صد", "دویست", "سیصد", "چهارصد", "پانصد", "ششصد",
+                "هفتصد", "هشتصد", "نهصد"]
+
+
+def _fa(n: int) -> str:
+    # parts joined by the conjunction "و" (o): بیست و یک = bist-o-yek
+    if n < 20:
+        return _FA_UNITS[n]
+    parts = []
+    th, n = divmod(n, 1000)
+    if th:
+        parts.append("هزار" if th == 1 else f"{_fa(th)} هزار")
+    h, n = divmod(n, 100)
+    if h:
+        parts.append(_FA_HUNDREDS[h])
+    if n >= 20:
+        t, n = divmod(n, 10)
+        parts.append(_FA_TENS[t])
+    if n:
+        parts.append(_FA_UNITS[n])
+    return " و ".join(parts)
+
+
+# ----------------------------------------------------------------- registry
+
+_READERS = {
+    "es": _es, "it": _it, "fr": _fr, "pt": _pt, "pt-br": _pt, "de": _de,
+    "nl": _nl, "fi": _fi, "hu": _hu, "el": _el, "pl": _pl, "ru": _ru,
+    "uk": _uk, "vi": _vi, "fa": _fa,
+}
+
+MAX_NUMBER = 999_999
+
+
+def number_to_words(n: int, lang: str) -> str:
+    """Read integer ``n`` (0..999 999) as words in ``lang``'s orthography.
+
+    Raises KeyError for an unsupported language and ValueError outside the
+    supported range (callers fall back to digit-by-digit reading)."""
+    if not 0 <= n <= MAX_NUMBER:
+        raise ValueError(f"number out of range: {n}")
+    return _READERS[lang](n)

@@ -177,7 +177,8 @@ class TextFrontend:
         self.id_to_phone = {v: k for k, v in self.phone_to_id.items()}
         if self.use_g2p and self.g2p_lang != "cmn":
             try:
-                from phonemizer.backend import EspeakBackend
+                from toucan_tpu.utils.optional import optional_import
+                EspeakBackend = optional_import("phonemizer.backend").EspeakBackend
                 self._g2p = EspeakBackend(
                     language=self.g2p_lang,
                     punctuation_marks=';:,.!?¡¿—…"«»“”~/。【】、‥،؟“”؛',
@@ -196,7 +197,8 @@ class TextFrontend:
             return remove_french_spacing(text)
         if self.language == "cmn":
             try:
-                from pypinyin import pinyin
+                from toucan_tpu.utils.optional import optional_import
+                pinyin = optional_import("pypinyin").pinyin
                 return " ".join(x[0] for x in pinyin(text))
             except ImportError:
                 from toucan_tpu.frontend.g2p_cmn import (hanzi_to_pinyin,
@@ -211,7 +213,9 @@ class TextFrontend:
         text = self._expand(text)
         if self.g2p_lang == "cmn":
             try:
-                from dragonmapper.transcriptions import pinyin_to_ipa
+                from toucan_tpu.utils.optional import optional_import
+                pinyin_to_ipa = optional_import(
+                    "dragonmapper.transcriptions").pinyin_to_ipa
             except ImportError:
                 # first-party pinyin syllable parser (frontend/g2p_cmn.py)
                 from toucan_tpu.frontend.g2p_cmn import pinyin_to_ipa
@@ -347,5 +351,7 @@ class TextFrontend:
             "it": "Questa è una frase complessa, ha anche una pausa!",
             "cmn": "这是一个复杂的句子，它甚至包含一个停顿。",
             "vi": "Đây là một câu phức tạp, nó thậm chí còn chứa một khoảng dừng.",
+            "uk": "Це складне речення, воно навіть має паузу!",
+            "fa": "این یک جمله پیچیده است، حتی یک مکث دارد!",
         }
         return examples.get(lang)

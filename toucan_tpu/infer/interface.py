@@ -41,7 +41,8 @@ class ToucanTTSInterface:
                  default_embedding=None, config: Optional[ToucanTTSConfig] = None,
                  vocoder="hifigan", language: str = "en",
                  use_g2p: bool = True, seed: int = 0, dtype=None,
-                 matmul_precision: str = "default"):
+                 matmul_precision: str = "default",
+                 mesh=None, longform_frames: int = 1024):
         """``vocoder``: "hifigan" | "bigvgan" or a vocoder module instance.
         ``dtype`` (e.g. jnp.bfloat16) overrides the compute dtype of the
         default-constructed acoustic model and vocoder — the serving
@@ -52,7 +53,13 @@ class ToucanTTSInterface:
         path (~2e-2 mel error vs the f32 torch reference); "float32" forces
         full-precision MXU passes at ~3x matmul cost — the parity path
         (~7e-5 mel error; see BENCH_NOTES.md).  CPU is unaffected (always
-        f32-exact)."""
+        f32-exact).
+
+        ``mesh``: an optional ``jax.sharding.Mesh`` with a 'data' axis.
+        When set, syntheses whose frame budget reaches ``longform_frames``
+        route the vocoder through ``dist/longform.py``'s time-sharded
+        halo-exchange path (BASELINE config 4: long-form audio sharded
+        across chips), bit-matching the unsharded wave."""
         import dataclasses
 
         self.config = config or ToucanTTSConfig()
@@ -84,7 +91,10 @@ class ToucanTTSInterface:
             else np.asarray(default_embedding, np.float32))
         self._vocoder_cache = {}   # mel -> wave utility buckets
         self._e2e_cache = {}       # fused text -> wave buckets
+        self._acoustic_cache = {}  # text -> mel buckets (longform path)
         self._voc_act_scales = None  # set by quantize_vocoder (int8 serving)
+        self.mesh = mesh
+        self.longform_frames = longform_frames
 
     # ------------------------------------------------------------- setters
 
@@ -104,8 +114,8 @@ class ToucanTTSInterface:
             self.default_utterance_embedding = np.asarray(embedding, np.float32).reshape(-1)
             return
         if wave is None:
-            import soundfile
-            wave, sr = soundfile.read(path_to_reference_audio)
+            from toucan_tpu.utils.optional import optional_import
+            wave, sr = optional_import("soundfile").read(path_to_reference_audio)
         if sr != self.audio_preprocessor.input_sr:
             self.audio_preprocessor = AudioPreprocessor(input_sr=sr, output_sr=16000,
                                                         cut_silence=True)
@@ -232,6 +242,32 @@ class ToucanTTSInterface:
 
             self._e2e_cache[key] = jax.jit(fn)
         return self._e2e_cache[key]
+
+    def _acoustic_fn(self, n_phones: int, max_frames: int, with_overrides: bool):
+        """Text -> (mel, prosody) only — the longform path vocodes the mel
+        separately through the time-sharded halo-exchange synthesis."""
+        key = (n_phones, max_frames, with_overrides)
+        if key not in self._acoustic_cache:
+            model = self.model
+            precision = self.matmul_precision
+
+            def fn(tts_v, text, text_len, utt, lang, noise, knobs,
+                   durations=None, pitch=None, energy=None):
+                with jax.default_matmul_precision(precision):
+                    return model.apply(
+                        tts_v, text, text_len, max_frames,
+                        utterance_embedding=utt, lang_ids=lang,
+                        gold_durations=durations, gold_pitch=pitch,
+                        gold_energy=energy,
+                        duration_scaling_factor=knobs[0],
+                        pitch_variance_scale=knobs[1],
+                        energy_variance_scale=knobs[2],
+                        pause_duration_scaling_factor=knobs[3],
+                        glow_noise=noise, run_glow=True,
+                        method=ToucanTTS.infer)
+
+            self._acoustic_cache[key] = jax.jit(fn)
+        return self._acoustic_cache[key]
 
     def precompile(self, phone_buckets=(PHONE_BUCKET, 4 * PHONE_BUCKET),
                    batch_sizes=(1,), with_overrides=False):
@@ -369,12 +405,15 @@ class ToucanTTSInterface:
         plt.close(fig)
         return path
 
-    def __call__(self, text: str, duration_scaling_factor=1.0,
-                 pitch_variance_scale=1.0, energy_variance_scale=1.0,
-                 pause_duration_scaling_factor=1.0, durations=None, pitch=None,
-                 energy=None, input_is_phones=False,
-                 return_duration_pitch_energy=False,
-                 return_plot_as_filepath=False, glow_noise=None):
+    def _dispatch_call(self, text: str, duration_scaling_factor=1.0,
+                       pitch_variance_scale=1.0, energy_variance_scale=1.0,
+                       pause_duration_scaling_factor=1.0, durations=None,
+                       pitch=None, energy=None, input_is_phones=False,
+                       glow_noise=None):
+        """Enqueue one sentence's fused synthesis and return the device
+        futures ``(wave, after, dur, pit, ene, lens)`` plus the phone count
+        — no host sync.  JAX async dispatch lets a caller queue several
+        sentences before fetching the first (see ``read_to_file``)."""
         phones = self.text2phone.string_to_features(text, input_phonemes=input_is_phones)
         n = len(phones)
         n_pad = _round_up(n, PHONE_BUCKET)
@@ -411,16 +450,50 @@ class ToucanTTSInterface:
                              energy_variance_scale, pause_duration_scaling_factor],
                             jnp.float32)
 
-        fn = self._e2e_fn(n_pad, max_frames, with_overrides)
         dur_arr = pad_override(durations)
         if dur_arr is not None:
             dur_arr = dur_arr.astype(jnp.int32)
         utt = (None if self.default_utterance_embedding is None
                else jnp.asarray(self.default_utterance_embedding[None]))
-        wave_dev, after, dur, pit, ene, lens = fn(
+
+        if self.mesh is not None and max_frames >= self.longform_frames:
+            # BASELINE config 4: long-form synthesis — vocode the mel
+            # time-sharded across the mesh (dist/longform.py halo exchange)
+            from toucan_tpu.dist.longform import synthesize_longform
+
+            afn = self._acoustic_fn(n_pad, max_frames, with_overrides)
+            a_outs = afn(self.tts_variables, jnp.asarray(text_arr),
+                         jnp.asarray([n], jnp.int32), utt, lang, noise, knobs,
+                         durations=dur_arr, pitch=pad_override(pitch),
+                         energy=pad_override(energy))
+            _, after, dur, pit, ene, lens = a_outs
+            mel_len = int(lens[0])
+            mel = np.asarray(after, np.float32)[0, :mel_len]
+            wave = synthesize_longform(self.vocoder, self.vocoder_variables,
+                                       mel, self.mesh)
+            return (np.asarray(wave)[None], after, dur, pit, ene, lens), n
+
+        fn = self._e2e_fn(n_pad, max_frames, with_overrides)
+        outs = fn(
             self.tts_variables, self.vocoder_variables, jnp.asarray(text_arr),
             jnp.asarray([n], jnp.int32), utt, lang, noise, knobs,
             durations=dur_arr, pitch=pad_override(pitch), energy=pad_override(energy))
+        return outs, n
+
+    def __call__(self, text: str, duration_scaling_factor=1.0,
+                 pitch_variance_scale=1.0, energy_variance_scale=1.0,
+                 pause_duration_scaling_factor=1.0, durations=None, pitch=None,
+                 energy=None, input_is_phones=False,
+                 return_duration_pitch_energy=False,
+                 return_plot_as_filepath=False, glow_noise=None):
+        outs, n = self._dispatch_call(
+            text, duration_scaling_factor=duration_scaling_factor,
+            pitch_variance_scale=pitch_variance_scale,
+            energy_variance_scale=energy_variance_scale,
+            pause_duration_scaling_factor=pause_duration_scaling_factor,
+            durations=durations, pitch=pitch, energy=energy,
+            input_is_phones=input_is_phones, glow_noise=glow_noise)
+        wave_dev, after, dur, pit, ene, lens = outs
 
         # fetch only what the caller needs: the wave (trimmed) always; the
         # mel / prosody arrays only for plots or prosody returns
@@ -451,18 +524,27 @@ class ToucanTTSInterface:
         import itertools
 
         silence = np.zeros(SENTENCE_JOIN_SILENCE, np.float32)
-        pieces = [silence]
+        # dispatch-ahead streaming: enqueue every sentence's fused synthesis
+        # before fetching the first wave, so host-side G2P/padding for
+        # sentence N+1 and the fetch of sentence N overlap device compute
+        # (JAX async dispatch; SURVEY §2.10 serving-overlap row)
+        inflight = []
         for text, durations, pitch, energy in itertools.zip_longest(
                 text_list, dur_list or [], pitch_list or [], energy_list or []):
             if not text or not text.strip():
                 continue
             if not silent:
                 print(f"Now synthesizing: {text}")
-            wave = self(text, durations=durations, pitch=pitch, energy=energy,
-                        duration_scaling_factor=duration_scaling_factor,
-                        pitch_variance_scale=pitch_variance_scale,
-                        energy_variance_scale=energy_variance_scale,
-                        input_is_phones=input_is_phones)
+            outs, _n = self._dispatch_call(
+                text, durations=durations, pitch=pitch, energy=energy,
+                duration_scaling_factor=duration_scaling_factor,
+                pitch_variance_scale=pitch_variance_scale,
+                energy_variance_scale=energy_variance_scale,
+                input_is_phones=input_is_phones)
+            inflight.append((outs[0], outs[5]))
+        pieces = [silence]
+        for wave_dev, lens in inflight:
+            wave = np.asarray(wave_dev)[0, :int(lens[0]) * SAMPLES_PER_FRAME]
             pieces += [wave, silence]
         wav = np.concatenate(pieces)
         sr = 24000
@@ -471,9 +553,10 @@ class ToucanTTSInterface:
             sr = 48000
             wav = (np.clip(wav, -1, 1) * 32767).astype(np.int16)
         try:
-            import soundfile
-            soundfile.write(file=file_location, data=wav, samplerate=sr,
-                            subtype="PCM_16" if increased_compatibility_mode else None)
+            from toucan_tpu.utils.optional import optional_import
+            optional_import("soundfile").write(
+                file=file_location, data=wav, samplerate=sr,
+                subtype="PCM_16" if increased_compatibility_mode else None)
         except ImportError:
             _write_wav(file_location, wav, sr)
         return wav

@@ -61,13 +61,21 @@ def _aligner_train_fn(datapoints, steps, mesh=None, batch_size=None,
 
     state, opt = create_aligner_train_state(jax.random.PRNGKey(0))
     n_proc = jax.process_count()
-    batch_size = batch_size or min(8, len(datapoints))
+    if batch_size is None:
+        # round the default up to a process multiple so tiny corpora (e.g.
+        # 7 datapoints on 2 hosts) degrade gracefully instead of asserting;
+        # sampling with replacement makes batch > corpus harmless
+        batch_size = max(n_proc, min(8, len(datapoints)) // n_proc * n_proc)
     seed = 0
     if mesh is not None:
         step, state_sh = make_sharded_aligner_step(state, opt, mesh)
         state = jax.device_put(state, state_sh)
         if n_proc > 1:
-            assert batch_size % n_proc == 0
+            # every host must hold the SAME datapoint list (the corpus
+            # cache is shared); pad_to keeps per-host shapes consistent
+            assert batch_size % n_proc == 0, \
+                f"aligner batch_size {batch_size} not divisible by " \
+                f"{n_proc} processes"
             batch_size //= n_proc
             seed = 7919 * jax.process_index()
             pad_to = pad_to or (
