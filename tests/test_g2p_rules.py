@@ -32,7 +32,7 @@ def test_rule_g2p_example_sentence(lang):
     assert feats[-1, f2i["end of sentence"]] == 1
     # the mid-sentence comma became a pause
     assert feats[1:-2, f2i["silence"]].sum() >= 1
-    if lang not in ("ru", "uk", "vi"):  # ru/uk: no stress lexicon; vi: tonal
+    if lang != "vi":  # vi is tonal (tone dims asserted elsewhere)
         assert feats[:, f2i["stressed"]].sum() > 0
 
 
@@ -47,7 +47,8 @@ WORD_CHECKS = [
     ("el", "καλημέρα", "kalimˈeɾa"), ("el", "ευχαριστώ", "efxaɾistˈo"),
     ("hu", "szép", "sˈeːp"), ("hu", "magyar", "mˈɒɟɒr"),
     ("pl", "dobrze", "dˈɔbʒɛ"),
-    ("ru", "привет", "privet"), ("ru", "спасибо", "spasibo"),
+    ("ru", "привет", "privˈet"), ("ru", "спасибо", "spɐsˈibɐ"),
+    ("ru", "хорошо", "xɐrɐʃˈo"),
     ("de", "gut", "ɡˈuːt"), ("de", "Name", "nˈaːmə"),
     ("de", "und", "ˈʊnt"), ("de", "zwanzig", "tsvˈantsɪç"),
     ("nl", "goed", "ɣˈut"),
@@ -55,9 +56,9 @@ WORD_CHECKS = [
     # Ukrainian (VERDICT r03 #3): ɦ, ɪ, iotation, apostrophe split
     # (espeak's palatalization mark ʲ is stripped by the reference's own
     # IPA replacement table, so дякую -> dakuju matches the reference path)
-    ("uk", "дякую", "dakuju"), ("uk", "гарно", "ɦarnɔ"),
-    ("uk", "Київ", "kɪjiʋ"), ("uk", "п'ять", "pjat"),
-    ("uk", "їжа", "jiʒa"),
+    ("uk", "дякую", "dˈakuju"), ("uk", "гарно", "ɦˈarnɔ"),
+    ("uk", "Київ", "kˈɪjiʋ"), ("uk", "п'ять", "pjˈat"),
+    ("uk", "їжа", "jˈiʒa"),
     # Farsi: lexicon words carry true vowels; skeleton keeps consonants
     ("fa", "سلام", "sælˈɒm"), ("fa", "خوب", "xˈub"),
     ("fa", "کتاب", "ketˈɒb"), ("fa", "شب", "ʃˈæb"),

@@ -462,8 +462,147 @@ _DE_DIGITS = ["null", "eins", "zwei", "drei", "vier", "fünf", "sechs",
               "sieben", "acht", "neun"]
 
 # ---------------------------------------------------------------------------
-# Russian (letter-to-sound; stress unknown -> unreduced, unmarked)
+# Russian (letter-to-sound).  Stress: ё is always stressed; monosyllabic
+# content words are stressed; a frequent-word lexicon carries the stressed
+# syllable for common polysyllables; everything else stays unmarked
+# (lexical stress is not recoverable from Russian spelling).  When stress
+# IS known, standard vowel reduction applies (akanye: unstressed о -> ɐ,
+# е/я -> ɪ); unknown-stress words stay unreduced, which espeak's
+# full-lexicon path would reduce — the gap is measured in G2P.md.
 # ---------------------------------------------------------------------------
+
+# word -> 0-based stressed syllable (vowel-run index).  Hand-checked
+# frequent words; ё entries are omitted (ё marks its own stress).
+_RU_STRESS = {
+    "привет": 1, "спасибо": 1, "пожалуйста": 1, "здравствуйте": 0,
+    "хорошо": 2, "плохо": 0, "очень": 0, "сегодня": 1, "завтра": 0,
+    "вчера": 1, "сейчас": 1, "потом": 1, "всегда": 1, "никогда": 2,
+    "вода": 1, "работа": 1, "человек": 2, "люди": 0, "время": 0,
+    "жизни": 0, "слово": 0, "дело": 0, "место": 0, "город": 0,
+    "страна": 1, "россия": 1, "москва": 1, "язык": 1, "русский": 0,
+    "книга": 0, "школа": 0, "учитель": 1, "ребенок": 1, "мама": 0,
+    "папа": 0, "семья": 1, "женщина": 0, "мужчина": 1, "девушка": 0,
+    "мальчик": 0, "собака": 1, "кошка": 0, "машина": 1, "дорога": 1,
+    "улица": 0, "окно": 1, "дверь": 0, "стол": 0, "стул": 0,
+    "комната": 0, "квартира": 1, "деньги": 0, "магазин": 2,
+    "продукты": 1, "хлеб": 0, "молоко": 2, "мясо": 0, "рыба": 0,
+    "яблоко": 0, "утро": 0, "вечер": 0, "ночью": 0, "неделя": 1,
+    "месяц": 0, "года": 0, "зима": 1, "весна": 1, "лето": 0,
+    "осень": 0, "погода": 1, "солнце": 0, "небо": 0, "земля": 1,
+    "музыка": 0, "фильм": 0, "театр": 1, "история": 1, "вопрос": 1,
+    "ответ": 1, "проблема": 1, "помощь": 0, "правда": 0, "друзья": 1,
+    "понимать": 2, "говорить": 2, "сказать": 1, "думать": 0,
+    "знать": 0, "видеть": 0, "слышать": 0, "делать": 0, "работать": 1,
+    "жить": 0, "любить": 1, "хотеть": 1, "мочь": 0, "идти": 1,
+    "ехать": 0, "читать": 1, "писать": 1, "смотреть": 1, "красивый": 1,
+    "большой": 1, "маленький": 0, "новый": 0, "старый": 0,
+    "молодой": 2, "белый": 0, "черный": 0, "красный": 0, "быстро": 0,
+    "медленно": 0, "дома": 0, "здесь": 0, "теперь": 1, "почему": 2,
+    "потому": 2, "конечно": 1, "может": 0, "быть": 0, "есть": 0,
+    "это": 0, "сложное": 0, "предложение": 2, "пауза": 0,
+    # numerals (frontend/numbers.py output)
+    "четыре": 1, "восемь": 0, "девять": 0, "десять": 0,
+    "одиннадцать": 1, "двенадцать": 1, "тринадцать": 1,
+    "четырнадцать": 1, "пятнадцать": 1, "шестнадцать": 1,
+    "семнадцать": 1, "восемнадцать": 2, "девятнадцать": 2,
+    "двадцать": 0, "тридцать": 0, "сорок": 0, "пятьдесят": 2,
+    "шестьдесят": 2, "семьдесят": 0, "восемьдесят": 0, "девяносто": 1,
+    "двести": 0, "триста": 0, "четыреста": 1, "пятьсот": 1,
+    "шестьсот": 1, "семьсот": 1, "восемьсот": 2, "девятьсот": 2,
+    "тысяча": 0, "тысячи": 0, "тысяч": 0, "одна": 1,
+}
+
+# unstressed function words (clitics): never auto-stress the monosyllable
+_RU_CLITICS = {"в", "во", "к", "ко", "с", "со", "у", "о", "об", "на", "за",
+               "по", "до", "из", "от", "под", "над", "при", "про", "без",
+               "не", "ни", "и", "а", "но", "же", "ли", "бы", "то", "уж"}
+
+
+def _reduce_russian(ipa: str, stressed_run: int) -> str:
+    """Akanye once stress is known: unstressed о/а -> ɐ, е -> ɪ (one
+    reduction grade — the pretonic/other ə distinction is not modeled)."""
+    runs = _vowel_runs(ipa)
+    out = list(ipa)
+    for ri, pos in enumerate(runs):
+        if ri == stressed_run:
+            continue
+        if out[pos] in "oa":
+            out[pos] = "ɐ"
+        elif out[pos] == "e":
+            out[pos] = "ɪ"
+    return "".join(out)
+
+
+def stress_russian(word: str, ipa: str) -> str:
+    if PRIMARY_STRESS in ipa:  # ё already carries its stress
+        return ipa
+    runs = _vowel_runs(ipa)
+    if not runs or word in _RU_CLITICS:
+        return ipa
+    if len(runs) == 1:
+        return _insert_stress(ipa, 0)
+    idx = _RU_STRESS.get(word)
+    if idx is None:
+        return ipa  # unknown stress: unmarked, unreduced (documented)
+    idx = min(idx, len(runs) - 1)
+    return _insert_stress(_reduce_russian(ipa, idx), idx)
+
+
+# Ukrainian shares the machinery; reduction is much weaker in Ukrainian
+# (no akanye), so only stress is assigned.
+_UK_STRESS = {
+    "дякую": 0, "будь": 0, "ласка": 0, "добре": 0, "гарно": 0,
+    "сьогодні": 1, "завтра": 0, "вчора": 0, "зараз": 0, "потім": 0,
+    "завжди": 1, "ніколи": 1, "вода": 1, "робота": 1, "людина": 1,
+    "люди": 0, "слово": 0, "місто": 0, "країна": 1, "україна": 2,
+    "київ": 0, "мова": 0, "книжка": 0, "школа": 0, "вчитель": 0,
+    "дитина": 1, "мама": 0, "тато": 0, "родина": 1, "жінка": 0,
+    "чоловік": 2, "дівчина": 0, "хлопець": 0, "собака": 1, "кішка": 0,
+    "машина": 1, "дорога": 1, "вулиця": 0, "вікно": 1, "двері": 0,
+    "стіл": 0, "кімната": 1, "гроші": 0, "хліб": 0, "молоко": 2,
+    "риба": 0, "яблуко": 0, "ранок": 0, "вечір": 0, "тиждень": 0,
+    "місяць": 0, "зима": 1, "весна": 1, "літо": 0, "осінь": 0,
+    "погода": 1, "сонце": 0, "небо": 0, "земля": 1, "музика": 0,
+    "питання": 1, "відповідь": 1, "допомога": 2, "правда": 0,
+    "розуміти": 2, "говорити": 2, "сказати": 1, "думати": 0,
+    "знати": 0, "бачити": 0, "чути": 0, "робити": 1, "працювати": 2,
+    "жити": 0, "любити": 1, "хотіти": 1, "йти": 0, "їхати": 0,
+    "читати": 1, "писати": 1, "дивитися": 1, "гарний": 0,
+    "великий": 1, "маленький": 1, "новий": 1, "старий": 1,
+    "молодий": 2, "білий": 0, "чорний": 0, "червоний": 1, "швидко": 0,
+    "повільно": 1, "вдома": 0, "тут": 0, "тепер": 1, "чому": 1,
+    "звичайно": 1, "може": 0, "бути": 0, "маю": 0, "книжок": 1,
+    "речення": 0, "складне": 1, "навіть": 0, "пауза": 0, "їжа": 0,
+    # numerals (apostrophe-stripped: the stress assigner receives the
+    # word with apostrophes removed)
+    "чотири": 1, "вісім": 0, "девять": 0, "десять": 0,
+    "одинадцять": 1, "дванадцять": 1, "тринадцять": 1,
+    "чотирнадцять": 2, "пятнадцять": 1, "шістнадцять": 1,
+    "сімнадцять": 1, "вісімнадцять": 2, "девятнадцять": 2,
+    "двадцять": 0, "тридцять": 0, "сорок": 0, "пятдесят": 2,
+    "шістдесят": 2, "сімдесят": 0, "вісімдесят": 2, "девяносто": 1,
+    "двісті": 0, "триста": 0, "чотириста": 1, "пятсот": 1,
+    "шістсот": 1, "сімсот": 1, "вісімсот": 2, "девятсот": 2,
+    "тисяча": 0, "тисячі": 0, "тисяч": 0, "одна": 1, "дві": 0,
+}
+
+_UK_CLITICS = {"в", "у", "і", "й", "з", "із", "зі", "на", "за", "по", "до",
+               "від", "під", "над", "при", "про", "без", "не", "ні", "а",
+               "та", "же", "ж", "чи", "би", "б", "то"}
+
+
+def stress_ukrainian(word: str, ipa: str) -> str:
+    if PRIMARY_STRESS in ipa:
+        return ipa
+    runs = _vowel_runs(ipa)
+    if not runs or word in _UK_CLITICS:
+        return ipa
+    if len(runs) == 1:
+        return _insert_stress(ipa, 0)
+    idx = _UK_STRESS.get(word)
+    if idx is None:
+        return ipa
+    return _insert_stress(ipa, min(idx, len(runs) - 1))
 
 _RU_SOFT = "еёюяьи"
 
@@ -910,8 +1049,8 @@ def _language(lang: str) -> Language:
         "pl": (_PL_RULES, stress_penult, _PL_DIGITS, {}),
         "nl": (_NL_RULES, stress_initial, _NL_DIGITS, {}),
         "de": (_DE_RULES, stress_initial, _DE_DIGITS, _DE_LEXICON),
-        "ru": (_RU_RULES, stress_marked_only, _RU_DIGITS, {}),
-        "uk": (_UK_RULES, stress_marked_only, _UK_DIGITS, {}),
+        "ru": (_RU_RULES, stress_russian, _RU_DIGITS, {}),
+        "uk": (_UK_RULES, stress_ukrainian, _UK_DIGITS, {}),
         "pt": (_PT_RULES, stress_portuguese, _PT_DIGITS, {}),
         "pt-br": (_PT_RULES, stress_portuguese, _PT_DIGITS, {}),
         "fr": (_FR_RULES, stress_french, _FR_DIGITS, _FR_LEXICON),
