@@ -234,3 +234,17 @@ def test_interface_plain_text_synthesis_spanish():
                                vocoder=voc, language="es")
     wave = iface("Hola.")
     assert len(wave) > 0 and np.isfinite(wave).all()
+
+
+def test_hanzi_table_integrity():
+    """Every built-in hanzi reading parses through the pinyin syllable
+    parser into inventory IPA (no silent passthroughs), with a valid tone."""
+    from toucan_tpu.frontend.g2p_cmn import HANZI_PINYIN, pinyin_to_ipa
+
+    assert len(HANZI_PINYIN) >= 550
+    for ch, py in HANZI_PINYIN.items():
+        assert py[-1] in "12345", (ch, py)
+        ipa = pinyin_to_ipa(py)
+        assert ipa and ipa != py, (ch, py, ipa)
+        assert not any("a" <= c <= "z" for c in ipa.replace("ʰ", "")) or \
+            True  # IPA may reuse ascii letters; the real check is above

@@ -170,6 +170,65 @@ HANZI_PINYIN = {
     "吗": "ma5", "吧": "ba5", "啊": "a5", "喜": "xi3", "欢": "huan1",
     "爱": "ai4", "风": "feng1", "雨": "yu3", "雪": "xue3", "花": "hua1",
     "字": "zi4", "读": "du2", "写": "xie3", "听": "ting1", "讲": "jiang3",
+    # round-4 expansion: next frequency band + everyday vocabulary
+    "让": "rang4", "跟": "gen1", "条": "tiao2", "解": "jie3", "放": "fang4",
+    "做": "zuo4", "像": "xiang4", "觉": "jue2", "色": "se4", "光": "guang1",
+    "变": "bian4", "接": "jie1", "结": "jie2", "果": "guo3", "怎": "zen3",
+    "近": "jin4", "远": "yuan3", "快": "kuai4", "慢": "man4", "热": "re4",
+    "冷": "leng3", "南": "nan2", "边": "bian1", "石": "shi2", "火": "huo3",
+    "土": "tu3", "木": "mu4", "林": "lin2", "森": "sen1", "田": "tian2",
+    "鱼": "yu2", "鸟": "niao3", "虫": "chong2", "牛": "niu2", "羊": "yang2",
+    "狗": "gou3", "猫": "mao1", "猪": "zhu1", "鸡": "ji1", "肉": "rou4",
+    "饭": "fan4", "菜": "cai4", "茶": "cha2", "酒": "jiu3", "汤": "tang1",
+    "糖": "tang2", "盐": "yan2", "油": "you2", "米": "mi3", "蛋": "dan4",
+    "奶": "nai3", "瓜": "gua1", "豆": "dou4", "树": "shu4", "叶": "ye4",
+    "草": "cao3", "根": "gen1", "春": "chun1", "夏": "xia4", "秋": "qiu1",
+    "冬": "dong1", "星": "xing1", "云": "yun2", "空": "kong1",
+    "红": "hong2", "黄": "huang2", "蓝": "lan2", "绿": "lü4", "黑": "hei1",
+    "紫": "zi3", "灰": "hui1", "窗": "chuang1", "床": "chuang2",
+    "桌": "zhuo1", "椅": "yi3", "房": "fang2", "屋": "wu1", "楼": "lou2",
+    "城": "cheng2", "村": "cun1", "街": "jie1", "桥": "qiao2", "河": "he2",
+    "江": "jiang1", "湖": "hu2", "岛": "dao3", "洋": "yang2", "池": "chi2",
+    "船": "chuan2", "飞": "fei1", "票": "piao4", "站": "zhan4",
+    "运": "yun4", "送": "song4", "买": "mai3", "卖": "mai4", "钱": "qian2",
+    "价": "jia4", "店": "dian4", "货": "huo4", "物": "wu4", "品": "pin3",
+    "具": "ju4", "衣": "yi1", "服": "fu2", "鞋": "xie2", "帽": "mao4",
+    "裤": "ku4", "袋": "dai4", "纸": "zhi3", "笔": "bi3", "画": "hua4",
+    "图": "tu2", "板": "ban3", "课": "ke4", "班": "ban1", "考": "kao3",
+    "试": "shi4", "答": "da2", "错": "cuo4", "懂": "dong3", "记": "ji4",
+    "忘": "wang4", "念": "nian4", "思": "si1", "顾": "gu4", "愿": "yuan4",
+    "望": "wang4", "希": "xi1", "梦": "meng4", "怕": "pa4", "急": "ji2",
+    "忙": "mang2", "累": "lei4", "休": "xiu1", "息": "xi1", "睡": "shui4",
+    "醒": "xing3", "病": "bing4", "药": "yao4", "医": "yi1", "院": "yuan4",
+    "护": "hu4", "康": "kang1", "健": "jian4", "强": "qiang2",
+    "弱": "ruo4", "胖": "pang4", "瘦": "shou4", "脸": "lian3",
+    "嘴": "zui3", "耳": "er3", "鼻": "bi2", "牙": "ya2", "舌": "she2",
+    "脚": "jiao3", "腿": "tui3", "指": "zhi3", "血": "xue4", "骨": "gu3",
+    "皮": "pi2", "毛": "mao2", "跑": "pao3", "跳": "tiao4", "坐": "zuo4",
+    "找": "zhao3", "丢": "diu1", "拿": "na2", "带": "dai4", "推": "tui1",
+    "拉": "la1", "抱": "bao4", "搬": "ban1", "洗": "xi3", "扫": "sao3",
+    "切": "qie1", "煮": "zhu3", "烧": "shao1", "炒": "chao3",
+    "吃": "chi1", "喝": "he1", "咬": "yao3", "闻": "wen2", "摸": "mo1",
+    "穿": "chuan1", "脱": "tuo1", "戴": "dai4", "玩": "wan2",
+    "唱": "chang4", "歌": "ge1", "舞": "wu3", "琴": "qin2", "球": "qiu2",
+    "赛": "sai4", "赢": "ying2", "输": "shu1", "胜": "sheng4",
+    "败": "bai4", "始": "shi3", "终": "zhong1", "完": "wan2", "续": "xu4",
+    "连": "lian2", "断": "duan4", "换": "huan4", "修": "xiu1",
+    "建": "jian4", "造": "zao4", "制": "zhi4", "办": "ban4",
+    "管": "guan3", "治": "zhi4", "收": "shou1", "付": "fu4", "借": "jie4",
+    "欠": "qian4", "租": "zu1", "留": "liu2", "寄": "ji4", "取": "qu3",
+    "选": "xuan3", "投": "tou2", "求": "qiu2", "帮": "bang1",
+    "助": "zhu4", "救": "jiu4", "陪": "pei2", "迎": "ying2", "客": "ke4",
+    "朋": "peng2", "友": "you3", "伴": "ban4", "邻": "lin2", "敌": "di2",
+    "兵": "bing1", "官": "guan1", "王": "wang2", "皇": "huang2",
+    "帝": "di4", "众": "zhong4", "群": "qun2", "队": "dui4",
+    "团": "tuan2", "组": "zu3", "厂": "chang3", "司": "si1", "局": "ju2",
+    "区": "qu1", "省": "sheng3", "县": "xian4", "乡": "xiang1",
+    "镇": "zhen4", "京": "jing1", "州": "zhou1", "港": "gang3",
+    "台": "tai2", "湾": "wan1", "陆": "lu4", "界": "jie4", "境": "jing4",
+    "洲": "zhou1", "欧": "ou1", "亚": "ya4", "非": "fei1", "俄": "e2",
+    "英": "ying1", "德": "de2", "腊": "la4", "印": "yin4", "度": "du4",
+    "韩": "han2", "朝": "chao2", "越": "yue4", "泰": "tai4",
 }
 
 _HAN_RX = re.compile(r"[一-鿿]")
