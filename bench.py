@@ -33,7 +33,9 @@ TARGET = 5000.0  # audio-seconds / s / chip (BASELINE.json north star)
 # of letting it eat the driver's external timeout
 SECTION_CAPS = {
     "acoustic": 360,
-    "train": 900,
+    "train": 600,          # acoustic train step + on-disk streamed anchor
+    "train_vocoder": 480,  # vocoder GAN step (separate process: own cap,
+                           # and a timeout in one can't starve the other)
     "bigvgan": 300,
     "pipelined": 360,
     "stft": 180,
@@ -43,8 +45,8 @@ SECTION_CAPS = {
 }
 # launch order = importance order; once the total budget runs out the rest
 # are skipped with explicit markers
-SECTION_ORDER = ["acoustic", "train", "bigvgan", "pipelined", "stft",
-                 "scaling", "parity", "int8"]
+SECTION_ORDER = ["acoustic", "train", "train_vocoder", "bigvgan",
+                 "pipelined", "stft", "scaling", "parity", "int8"]
 
 
 def _setup_jax():
@@ -203,23 +205,11 @@ def _sec_pipelined():
     return bench_pipelined_vs_sequential(on_tpu, dtype)
 
 
-def _sec_train():
-    """Training throughput: full-size ToucanTTS train step (fwd+bwd+Adam,
-    glow on) at the reference batch size, the on-disk streamed-input
-    anchor, and the vocoder GAN step (G+D) at the reference segment
-    length."""
+def _train_batch(on_tpu):
     import numpy as np
 
-    import jax
     import jax.numpy as jnp
 
-    from toucan_tpu.models.gst import StyleEmbedding
-    from toucan_tpu.models.toucan_tts import ToucanTTSConfig
-    from toucan_tpu.train.toucan_train import create_train_state, make_train_step
-
-    on_tpu, dtype = _setup_jax()
-    out = {}
-    rng = jax.random.PRNGKey(0)
     b, tmax = (24, 100) if on_tpu else (2, 8)
     nprng = np.random.RandomState(0)
     durations = nprng.randint(3, 8, size=(b, tmax)).astype(np.int32)
@@ -234,6 +224,24 @@ def _sec_train():
         gold_energy=jnp.asarray(nprng.randn(b, tmax, 1).astype(np.float32)),
         lang_ids=jnp.asarray(nprng.randint(0, 90, size=(b, 1))),
     )
+    return batch, b, tmax, lmax
+
+
+def _sec_train():
+    """Training throughput: full-size ToucanTTS train step (fwd+bwd+Adam,
+    glow on) at the reference batch size + the on-disk streamed-input
+    anchor.  (The vocoder GAN step is its own section.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from toucan_tpu.models.gst import StyleEmbedding
+    from toucan_tpu.models.toucan_tts import ToucanTTSConfig
+    from toucan_tpu.train.toucan_train import create_train_state, make_train_step
+
+    on_tpu, dtype = _setup_jax()
+    out = {}
+    rng = jax.random.PRNGKey(0)
+    batch, b, tmax, lmax = _train_batch(on_tpu)
     if on_tpu:
         config = ToucanTTSConfig(dtype=dtype)
     else:  # smoke-test config: full path, toy widths (CPU compile time)
@@ -260,7 +268,7 @@ def _sec_train():
 
     jax.device_get(run(state, batch))
     best = float("inf")
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
         jax.device_get(run(state, batch))
         best = min(best, time.perf_counter() - t0)
@@ -272,14 +280,26 @@ def _sec_train():
             out.update(_streamed_vs_resident(step, state, batch, b, tmax, lmax))
         except Exception as exc:
             out["streamed_error"] = str(exc)[:200]
+    return out
 
-    # vocoder GAN step (G + D, adversarial phase) at the reference segment
-    # length (12288 samples -> 32 mel frames) and batch size 18
+
+def _sec_train_vocoder():
+    """Vocoder GAN step (G + D, adversarial phase) at the reference segment
+    length (12288 samples -> 32 mel frames) and batch size 18."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
     from toucan_tpu.train.vocoder_train import (
         create_vocoder_train_state, make_vocoder_train_step)
 
+    on_tpu, _ = _setup_jax()
     if not on_tpu:  # the full GAN fwd+bwd graph takes many minutes to
-        return out  # compile on CPU; this extra is TPU-only
+        return {"train_vocoder_skipped": "cpu"}  # compile on CPU
+    rng = jax.random.PRNGKey(0)
+    nprng = np.random.RandomState(0)
+    chain = 5
     vb = 18
     state_v, optimizers = create_vocoder_train_state(rng)
     vstep = make_vocoder_train_step(optimizers, use_adversarial=True)
@@ -297,17 +317,18 @@ def _sec_train():
 
     jax.device_get(runv(state_v, vbatch))
     best = float("inf")
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
         jax.device_get(runv(state_v, vbatch))
         best = min(best, time.perf_counter() - t0)
-    out["vocoder_train_steps_per_s"] = round(chain / best, 2)
-    out["vocoder_train_audio_s_per_s"] = round(chain * vb * 12288 / 24000 / best, 1)
-    return out
+    return {
+        "vocoder_train_steps_per_s": round(chain / best, 2),
+        "vocoder_train_audio_s_per_s": round(chain * vb * 12288 / 24000 / best, 1),
+    }
 
 
 def _streamed_vs_resident(step, state, resident_batch, b, tmax, lmax,
-                          n_utts=192, n_steps=20):
+                          n_utts=96, n_steps=14):
     """Per-dispatch train-step throughput with (a) a device-resident batch
     and (b) batches streamed from an on-disk cache through the async
     prefetcher (pad + upload of batch N+1 overlaps step N) — the VERDICT
@@ -344,43 +365,49 @@ def _streamed_vs_resident(step, state, resident_batch, b, tmax, lmax,
                      pitch=rnd.randn(t, 1).astype(np.float32),
                      energy=rnd.randn(t, 1).astype(np.float32))
 
-        def disk_batches(n):
+        def batch_indices(n):
+            """Lightweight descriptors: the load+pad+upload work happens in
+            the prefetcher's parallel workers (like the reference's
+            DataLoader worker processes)."""
             order = rnd.permutation(n_utts)
             for s in range(n):
                 idx = order[(s * b) % n_utts:][:b]
                 if len(idx) < b:
                     idx = np.concatenate([idx, order[:b - len(idx)]])
-                batch = dict(
-                    text=np.zeros((b, tmax, 62), np.float32),
-                    text_lengths=np.zeros((b,), np.int32),
-                    gold_speech=np.zeros((b, lmax, 80), np.float32),
-                    speech_lengths=np.zeros((b,), np.int32),
-                    gold_durations=np.zeros((b, tmax), np.int32),
-                    gold_pitch=np.zeros((b, tmax, 1), np.float32),
-                    gold_energy=np.zeros((b, tmax, 1), np.float32),
-                    lang_ids=np.zeros((b, 1), np.int64),
-                )
-                for j, ui in enumerate(idx):
-                    d = np.load(os.path.join(cache_dir, f"utt_{ui:04d}.npz"))
-                    t = len(d["text"])
-                    l = len(d["mel"])
-                    batch["text"][j, :t] = d["text"]
-                    batch["text_lengths"][j] = t
-                    batch["gold_speech"][j, :l] = d["mel"]
-                    batch["speech_lengths"][j] = l
-                    dur = d["durations"].copy()
-                    # clamp so durations sum to the stored mel length
-                    excess = int(dur.sum()) - l
-                    k = len(dur) - 1
-                    while excess > 0 and k >= 0:
-                        cut = min(excess, int(dur[k]))
-                        dur[k] -= cut
-                        excess -= cut
-                        k -= 1
-                    batch["gold_durations"][j, :t] = dur
-                    batch["gold_pitch"][j, :t] = d["pitch"]
-                    batch["gold_energy"][j, :t] = d["energy"]
-                yield batch
+                yield idx
+
+        def load_pad_upload(idx):
+            batch = dict(
+                text=np.zeros((b, tmax, 62), np.float32),
+                text_lengths=np.zeros((b,), np.int32),
+                gold_speech=np.zeros((b, lmax, 80), np.float32),
+                speech_lengths=np.zeros((b,), np.int32),
+                gold_durations=np.zeros((b, tmax), np.int32),
+                gold_pitch=np.zeros((b, tmax, 1), np.float32),
+                gold_energy=np.zeros((b, tmax, 1), np.float32),
+                lang_ids=np.zeros((b, 1), np.int64),
+            )
+            for j, ui in enumerate(idx):
+                d = np.load(os.path.join(cache_dir, f"utt_{ui:04d}.npz"))
+                t = len(d["text"])
+                l = len(d["mel"])
+                batch["text"][j, :t] = d["text"]
+                batch["text_lengths"][j] = t
+                batch["gold_speech"][j, :l] = d["mel"]
+                batch["speech_lengths"][j] = l
+                dur = d["durations"].copy()
+                # clamp so durations sum to the stored mel length
+                excess = int(dur.sum()) - l
+                k = len(dur) - 1
+                while excess > 0 and k >= 0:
+                    cut = min(excess, int(dur[k]))
+                    dur[k] -= cut
+                    excess -= cut
+                    k -= 1
+                batch["gold_durations"][j, :t] = dur
+                batch["gold_pitch"][j, :t] = d["pitch"]
+                batch["gold_energy"][j, :t] = d["energy"]
+            return {k_: jnp.asarray(v) for k_, v in batch.items()}
 
         # warm-up compile for the per-dispatch shape
         s_warm, _ = step_j(state, resident_batch, key)
@@ -402,9 +429,8 @@ def _streamed_vs_resident(step, state, resident_batch, b, tmax, lmax,
             return (n - 1) / (time.perf_counter() - t0)
 
         resident_rate = timed_run([resident_batch] * n_steps)
-        pf = DevicePrefetcher(
-            disk_batches(n_steps),
-            lambda bt: {k: jnp.asarray(v) for k, v in bt.items()}, depth=2)
+        pf = DevicePrefetcher(batch_indices(n_steps), load_pad_upload,
+                              depth=2, workers=4)
         streamed_rate = timed_run(pf)
         return {
             "acoustic_train_dispatch_steps_per_s": round(resident_rate, 2),
@@ -602,6 +628,7 @@ def _sec_scaling():
 SECTIONS = {
     "acoustic": _sec_acoustic,
     "train": _sec_train,
+    "train_vocoder": _sec_train_vocoder,
     "bigvgan": _sec_bigvgan,
     "pipelined": _sec_pipelined,
     "stft": _sec_stft,
@@ -658,7 +685,7 @@ def main():
         extra = result["extra"] = {}
         skip = set()
         if os.environ.get("TOUCAN_BENCH_TRAIN", "1") == "0":
-            skip.add("train")
+            skip.update(("train", "train_vocoder"))
         if os.environ.get("TOUCAN_BENCH_SCALING", "1") == "0":
             skip.add("scaling")
         for name in SECTION_ORDER:

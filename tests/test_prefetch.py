@@ -64,7 +64,7 @@ def test_prefetch_early_close_does_not_hang():
     t0 = time.perf_counter()
     pf.close()
     assert time.perf_counter() - t0 < 10
-    assert not pf._thread.is_alive()
+    assert not any(t.is_alive() for t in pf._threads)
 
 
 def test_prefetch_custom_to_device():
@@ -78,3 +78,47 @@ def test_prefetch_custom_to_device():
     got = list(DevicePrefetcher(iter(src), to_dev, depth=1))
     assert [float(b["x"][0]) for b in got] == [0.0, 2.0, 4.0]
     assert calls == [0.0, 1.0, 2.0]
+
+
+def test_prefetch_parallel_workers_preserve_order():
+    """N workers pipeline uploads concurrently but delivery stays in
+    source order, including when per-batch cost varies."""
+    import random
+
+    def to_dev(b):
+        time.sleep(random.uniform(0, 0.02))
+        return {k: jnp.asarray(v) for k, v in b.items()}
+
+    src = [{"x": np.full((2,), i, np.float32)} for i in range(20)]
+    got = list(DevicePrefetcher(iter(src), to_dev, depth=2, workers=4))
+    assert [int(b["x"][0]) for b in got] == list(range(20))
+
+
+def test_prefetch_parallel_workers_overlap_upload():
+    """With upload cost > step cost, 4 workers must beat 1 worker."""
+
+    def slow_up(b):
+        time.sleep(0.04)
+        return b
+
+    src = [{"x": np.zeros(1)} for _ in range(12)]
+    t0 = time.perf_counter()
+    list(DevicePrefetcher(iter(src), slow_up, depth=2, workers=1))
+    serial = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    list(DevicePrefetcher(iter(src), slow_up, depth=2, workers=4))
+    parallel = time.perf_counter() - t0
+    assert parallel < serial * 0.6, (serial, parallel)
+
+
+def test_prefetch_worker_error_propagates():
+    def bad_up(b):
+        if int(b["x"][0]) == 2:
+            raise RuntimeError("boom in upload")
+        return b
+
+    src = [{"x": np.full((1,), i, np.float32)} for i in range(5)]
+    pf = DevicePrefetcher(iter(src), bad_up, depth=2, workers=3)
+    with pytest.raises(RuntimeError, match="boom in upload"):
+        for _ in pf:
+            pass

@@ -2,13 +2,18 @@
 
 The reference keeps its GPU fed with 12 DataLoader worker processes
 (``toucantts_train_loop.py:68-76``).  The TPU-native equivalent: a bounded
-background thread that samples, pads, and ``device_put``s batch N+1 while
-the chip executes step N, so the jitted step dequeues an already-resident
-batch and the host work never sits on the step path.  (Python threads are
-the right tool here — padding is numpy C code and ``device_put`` releases
-the GIL during the DMA, so a single prefetch thread overlaps fully with
-the main thread's dispatch loop; the CPU-heavy *cache building* uses
-processes, ``data/corpus.py``.)
+pool of background threads that sample, pad, and ``device_put`` upcoming
+batches while the chip executes the current step, so the jitted step
+dequeues an already-resident batch and the host work never sits on the
+step path.  Python threads are the right tool here — padding is numpy C
+code and ``device_put`` releases the GIL during the DMA, so the workers
+overlap both with each other and with the main thread's dispatch loop
+(the CPU-heavy *cache building* uses processes, ``data/corpus.py``).
+
+``workers > 1`` matters when a single prepare+upload takes longer than a
+train step (measured on the TPU relay: ~0.23 s input vs 0.13 s step made
+1-worker streaming input-bound at 0.57x the resident rate); N workers
+pipeline N uploads concurrently while strictly preserving batch order.
 """
 
 from __future__ import annotations
@@ -19,7 +24,8 @@ from typing import Callable, Iterable, Iterator
 
 
 class DevicePrefetcher:
-    """Iterate device-resident batches, prepared ``depth`` steps ahead.
+    """Iterate device-resident batches, prepared up to ``depth`` steps
+    ahead by ``workers`` parallel threads, in source order.
 
     ``source``: an iterable of host batches (dicts of numpy arrays).
     ``to_device``: host batch -> device batch (e.g. ``jnp.asarray`` per
@@ -27,55 +33,122 @@ class DevicePrefetcher:
     the source or the upload re-raise at the consuming ``next()`` call.
     """
 
-    _DONE = object()
+    _SENTINEL = object()
 
-    def __init__(self, source: Iterable, to_device: Callable, depth: int = 2):
-        self._queue: queue.Queue = queue.Queue(maxsize=max(1, depth))
-        self._err = None
-        self._stop = threading.Event()
+    def __init__(self, source: Iterable, to_device: Callable, depth: int = 2,
+                 workers: int = 1):
+        self._depth = max(1, depth)
+        self._workers = max(1, workers)
+        self._cond = threading.Condition()
+        self._results = {}
+        self._next_out = 0
+        self._total = None    # set by the reader once the source exhausts
+        self._err = None      # worker (upload) error: raise immediately
+        self._src_err = None  # source error: raise after delivering the
+        self._stop = threading.Event()  # batches produced before it
+        self._in_q: queue.Queue = queue.Queue(
+            maxsize=self._workers + self._depth)
 
-        def work():
+        def read():
+            seq = 0
             try:
                 for batch in source:
                     if self._stop.is_set():
-                        return
-                    self._queue.put(to_device(batch))
+                        break
+                    self._in_q.put((seq, batch))
+                    seq += 1
             except BaseException as exc:  # surfaced on the consumer side
-                self._err = exc
+                with self._cond:
+                    self._src_err = exc
+                    self._cond.notify_all()
             finally:
-                self._queue.put(self._DONE)
+                with self._cond:
+                    self._total = seq
+                    self._cond.notify_all()
+                for _ in range(self._workers):
+                    self._in_q.put(self._SENTINEL)
 
-        self._thread = threading.Thread(target=work, daemon=True,
-                                        name="toucan-prefetch")
-        self._thread.start()
+        def work():
+            while True:
+                if self._stop.is_set():
+                    return
+                try:  # timeout get: close() can stop a worker without a
+                    item = self._in_q.get(timeout=0.2)  # sentinel race
+                except queue.Empty:
+                    continue
+                if item is self._SENTINEL:
+                    with self._cond:
+                        self._cond.notify_all()
+                    return
+                seq, batch = item
+                try:
+                    out = to_device(batch)
+                except BaseException as exc:
+                    with self._cond:
+                        self._err = exc
+                        self._cond.notify_all()
+                    return
+                with self._cond:
+                    # backpressure: never run more than depth+workers
+                    # batches ahead of the consumer
+                    while (not self._stop.is_set() and self._err is None
+                           and seq - self._next_out
+                           >= self._depth + self._workers):
+                        self._cond.wait(0.2)
+                    self._results[seq] = out
+                    self._cond.notify_all()
+
+        self._threads = [threading.Thread(target=read, daemon=True,
+                                          name="toucan-prefetch-read")]
+        self._threads += [
+            threading.Thread(target=work, daemon=True,
+                             name=f"toucan-prefetch-{i}")
+            for i in range(self._workers)]
+        for t in self._threads:
+            t.start()
 
     def __iter__(self) -> Iterator:
         return self
 
     def __next__(self):
-        item = self._queue.get()
-        if item is self._DONE:
-            self._thread.join()
-            if self._err is not None:
-                raise self._err
-            raise StopIteration
-        return item
+        with self._cond:
+            while True:
+                if self._next_out in self._results:
+                    out = self._results.pop(self._next_out)
+                    self._next_out += 1
+                    self._cond.notify_all()
+                    return out
+                if self._err is not None:  # an upload failed: no more order
+                    raise self._err
+                if self._total is not None and self._next_out >= self._total:
+                    # every sourced batch has been consumed
+                    if self._src_err is not None:
+                        raise self._src_err
+                    raise StopIteration
+                self._cond.wait(0.2)
 
     def close(self):
-        """Stop early (e.g. loop break): unblock and join the worker."""
+        """Stop early (e.g. loop break): unblock and join the workers."""
         import time
 
         self._stop.set()
+        with self._cond:
+            self._cond.notify_all()
         deadline = time.time() + 5
-        while self._thread.is_alive() and time.time() < deadline:
+        while any(t.is_alive() for t in self._threads) and \
+                time.time() < deadline:
             try:  # drain so a blocked put() can complete and see the stop
-                self._queue.get(timeout=0.1)
+                self._in_q.get(timeout=0.1)
             except queue.Empty:
                 pass
-        self._thread.join(timeout=1)
+            with self._cond:
+                self._cond.notify_all()
+        for t in self._threads:
+            t.join(timeout=1)
 
 
-def prefetch_to_device(source, mesh=None, depth: int = 2) -> DevicePrefetcher:
+def prefetch_to_device(source, mesh=None, depth: int = 2,
+                       workers: int = 2) -> DevicePrefetcher:
     """Convenience wrapper picking the right upload fn for the mesh."""
     import jax.numpy as jnp
 
@@ -84,4 +157,4 @@ def prefetch_to_device(source, mesh=None, depth: int = 2) -> DevicePrefetcher:
         to_device = lambda b: make_global_batch(b, mesh)
     else:
         to_device = lambda b: {k: jnp.asarray(v) for k, v in b.items()}
-    return DevicePrefetcher(source, to_device, depth=depth)
+    return DevicePrefetcher(source, to_device, depth=depth, workers=workers)

@@ -105,19 +105,28 @@ class PipelinedSynthesizer:
         wave = self.vocode_fn(self.vocoder_variables, mel)
         return wave, mel_lens
 
-    def synthesize_stream(self, batches):
-        """Yield ``(wave_device_array, mel_lens_device_array)`` per input
-        batch, keeping up to ``depth`` batches in flight.  The caller trims
-        each wave to ``mel_lens * samples_per_frame`` after fetching."""
+    def synthesize_stream(self, batches, as_numpy: bool = True):
+        """Yield ``(wave, mel_lens)`` per input batch, keeping up to
+        ``depth`` batches in flight.  ``as_numpy=True`` fetches each wave
+        to the host (serving); ``as_numpy=False`` yields device arrays
+        after a ready-wait — synthesis throughput without paying the
+        host-transfer cost (fetch is the client's concern; use the PCM16
+        path to move 4x fewer bytes on remote accelerators).  The caller
+        trims each wave to ``mel_lens * samples_per_frame``."""
+        def out(pair):
+            wave, lens = pair
+            if as_numpy:
+                return np.asarray(wave), np.asarray(lens)
+            jax.block_until_ready(wave)
+            return wave, lens
+
         inflight = deque()
         for batch in batches:
             inflight.append(self._dispatch(batch))
             if len(inflight) > self.depth:
-                wave, lens = inflight.popleft()
-                yield np.asarray(wave), np.asarray(lens)
+                yield out(inflight.popleft())
         while inflight:
-            wave, lens = inflight.popleft()
-            yield np.asarray(wave), np.asarray(lens)
+            yield out(inflight.popleft())
 
 
 # ------------------------------------------------------------------ bench
@@ -175,13 +184,14 @@ def bench_pipelined_vs_sequential(on_tpu, dtype, n_batches: int = 8):
     run_fused()
     fused_s = time.perf_counter() - t0
 
-    # --- pipelined two-stage stream
+    # --- pipelined two-stage stream (device-ready per batch; no host
+    # fetch — the fused baseline above doesn't fetch either)
     pipe = PipelinedSynthesizer(model, tts_vars, vocoder, voc_vars, frames,
                                 depth=2)
     list(pipe.synthesize_stream([batch] * 2))  # compile + warm both stages
 
     def run_pipe():
-        for _ in pipe.synthesize_stream([batch] * n_batches):
+        for _ in pipe.synthesize_stream([batch] * n_batches, as_numpy=False):
             pass
 
     t0 = time.perf_counter()
