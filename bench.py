@@ -33,20 +33,24 @@ TARGET = 5000.0  # audio-seconds / s / chip (BASELINE.json north star)
 # of letting it eat the driver's external timeout
 SECTION_CAPS = {
     "acoustic": 360,
-    "train": 600,          # acoustic train step + on-disk streamed anchor
-    "train_vocoder": 480,  # vocoder GAN step (separate process: own cap,
-                           # and a timeout in one can't starve the other)
     "bigvgan": 300,
-    "pipelined": 360,
     "stft": 180,
     "scaling": 360,
+    "pipelined": 420,
     "parity": 600,
+    "train": 660,           # acoustic train step + on-disk streamed anchor
+    "train_vocoder": 1500,  # vocoder GAN step (separate process: own cap,
+                            # and a timeout in one can't starve the other;
+                            # measured ~12 min even with a warm compile
+                            # cache — the executable fetch through the TPU
+                            # relay dominates, not compute)
     "int8": 360,
 }
-# launch order = importance order; once the total budget runs out the rest
-# are skipped with explicit markers
-SECTION_ORDER = ["acoustic", "train", "train_vocoder", "bigvgan",
-                 "pipelined", "stft", "scaling", "parity", "int8"]
+# launch order: cheap, high-value sections first so an external kill or
+# budget exhaustion costs the least; the heavy train sections run late
+# (their timings re-print incrementally like everything else)
+SECTION_ORDER = ["acoustic", "bigvgan", "stft", "scaling", "pipelined",
+                 "parity", "train", "train_vocoder", "int8"]
 
 
 def _setup_jax():
@@ -299,8 +303,8 @@ def _sec_train_vocoder():
         return {"train_vocoder_skipped": "cpu"}  # compile on CPU
     rng = jax.random.PRNGKey(0)
     nprng = np.random.RandomState(0)
-    chain = 5
-    vb = 18
+    chain = 3  # smaller chained program than the acoustic section: the
+    vb = 18    # 5-step GAN chain compile dominated the section wall time
     state_v, optimizers = create_vocoder_train_state(rng)
     vstep = make_vocoder_train_step(optimizers, use_adversarial=True)
     vbatch = dict(
@@ -669,7 +673,10 @@ def main():
         return
 
     start = time.time()
-    budget = float(os.environ.get("TOUCAN_BENCH_BUDGET", "1200"))
+    # the early-flushed headline (plus a re-print after every section) is
+    # the real protection against external kills; the budget just keeps a
+    # fully-cold run from spending an hour compiling before giving up
+    budget = float(os.environ.get("TOUCAN_BENCH_BUDGET", "3600"))
 
     value = _headline()
     result = {
@@ -688,6 +695,7 @@ def main():
             skip.update(("train", "train_vocoder"))
         if os.environ.get("TOUCAN_BENCH_SCALING", "1") == "0":
             skip.add("scaling")
+        section_s = result["section_seconds"] = {}
         for name in SECTION_ORDER:
             if name in skip:
                 continue
@@ -696,7 +704,9 @@ def main():
                 extra[f"{name}_skipped_over_budget"] = True
                 continue
             cap = min(SECTION_CAPS[name], int(remaining))
+            t0 = time.time()
             extra.update(_run_section_subprocess(name, cap))
+            section_s[name] = round(time.time() - t0, 1)
             if ("acoustic_audio_s_per_s" in extra
                     and "e2e_audio_s_per_s" not in extra):
                 extra["e2e_audio_s_per_s"] = round(
