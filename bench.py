@@ -44,7 +44,7 @@ SECTION_CAPS = {
                             # measured ~12 min even with a warm compile
                             # cache — the executable fetch through the TPU
                             # relay dominates, not compute)
-    "int8": 360,
+    "int8": 600,  # pallas stage-kernel compiles miss the persistent cache
 }
 # launch order: cheap, high-value sections first so an external kill or
 # budget exhaustion costs the least; the heavy train sections run late
