@@ -248,3 +248,25 @@ def test_hanzi_table_integrity():
         assert ipa and ipa != py, (ch, py, ipa)
         assert not any("a" <= c <= "z" for c in ipa.replace("ʰ", "")) or \
             True  # IPA may reuse ascii letters; the real check is above
+
+
+def test_mandarin_tone_sandhi():
+    """Standard sandhi (espeak's zh behavior; pypinyin does NOT do this):
+    3-3 -> 2-3 pairwise, bu4 -> bu2 before tone 4, yi1 contextual."""
+    from toucan_tpu.frontend.g2p_cmn import apply_tone_sandhi, pinyin_to_ipa
+
+    assert apply_tone_sandhi(["ni3", "hao3"]) == ["ni2", "hao3"]
+    assert apply_tone_sandhi(["wo3", "hen3", "hao3"]) == \
+        ["wo3", "hen2", "hao3"]
+    assert apply_tone_sandhi(["bu4", "shi4"]) == ["bu2", "shi4"]
+    assert apply_tone_sandhi(["bu4", "hao3"]) == ["bu4", "hao3"]
+    assert apply_tone_sandhi(["yi1", "ge4"]) == ["yi2", "ge4"]
+    assert apply_tone_sandhi(["yi1", "tian1"]) == ["yi4", "tian1"]
+    assert apply_tone_sandhi(["di4", "yi1"]) == ["di4", "yi1"]
+    # punctuation is a prosodic boundary: no sandhi across it
+    assert apply_tone_sandhi(["hao3", "#", "hao3", "hao3"]) == \
+        ["hao3", "#", "hao2", "hao3"]
+    # end-to-end: ni3 hao3 surfaces rising tone on ni
+    assert pinyin_to_ipa("ni3 hao3") == "ni˧˥ xau˧˩˧"
+    # single syllable untouched
+    assert pinyin_to_ipa("hao3") == "xau˧˩˧"

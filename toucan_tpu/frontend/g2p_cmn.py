@@ -91,15 +91,75 @@ def _syllable_to_ipa(syl: str) -> str:
     return ini_ipa + final + contour
 
 
+_SYL_RX = re.compile(r"^([a-zA-Zü]+)([0-5])$")
+
+
+def apply_tone_sandhi(syllables):
+    """Standard Mandarin tone sandhi over a numbered-pinyin syllable list
+    (espeak's zh voice applies these; pypinyin/dragonmapper do NOT, so the
+    first-party path exceeds the reference's fallback quality here):
+
+    * third-tone sandhi: 3 3 -> 2 3, applied right-to-left so a run
+      resolves pairwise ("wo3 hen3 hao3" -> "wo3 hen2 hao3", the standard
+      [wo [hen hao]] phrasing);
+    * 不 bu4 -> bu2 before a tone-4 syllable;
+    * 一 yi1 -> yi2 before tone 4, yi4 before tones 1/2/3 (approximated
+      at the pinyin level; ordinal/final 一 keeps yi1 when nothing
+      follows).
+
+    Tokens that are not numbered syllables pass through and break sandhi
+    context (punctuation = prosodic boundary)."""
+    parsed = [(m.groups() if (m := _SYL_RX.match(s)) else None)
+              for s in syllables]
+    out = list(syllables)
+    for i, cur in enumerate(parsed):
+        nxt = parsed[i + 1] if i + 1 < len(parsed) else None
+        if cur is None or nxt is None:
+            continue
+        body, tone = cur
+        if body == "bu" and tone == "4" and nxt[1] == "4":
+            out[i] = "bu2"
+        elif body == "yi" and tone == "1" and nxt[1] in "1234":
+            out[i] = "yi2" if nxt[1] == "4" else "yi4"
+    # third-tone sandhi right-to-left so runs resolve like espeak
+    # ("hen3 hao3" -> "hen2 hao3"; the 不/一 pass above may have changed
+    # tones, so re-read from `out`)
+    for i in range(len(out) - 2, -1, -1):
+        m, n = _SYL_RX.match(out[i]), _SYL_RX.match(out[i + 1])
+        if m and n and m.group(2) == "3" and n.group(2) == "3":
+            out[i] = m.group(1) + "2"
+    return out
+
+
 def pinyin_to_ipa(text: str) -> str:
     """Numbered-pinyin text ("zhe4 shi4 ...") -> IPA with register marks,
-    dragonmapper-compatible output format."""
-    out = []
-    for token in text.split():
+    dragonmapper-compatible output format, with standard tone sandhi
+    applied across the syllable stream."""
+    tokens = text.split()
+    # split each token into (lead, core, trail); sandhi runs over the core
+    # stream with explicit "#" boundary markers where punctuation breaks
+    # the prosodic context (before a leading mark / after a trailing one)
+    parts = []
+    for token in tokens:
         m = re.match(r"(\W*)([\w0-5]*)(\W*)$", token, re.UNICODE)
-        lead, core, trail = m.groups() if m else ("", token, "")
+        parts.append(m.groups() if m else ("", token, ""))
+    stream, owner = [], []
+    for j, (lead, core, trail) in enumerate(parts):
+        if lead.strip():
+            stream.append("#")
+            owner.append(None)
+        stream.append(core.lower())
+        owner.append(j)
+        if trail.strip():
+            stream.append("#")
+            owner.append(None)
+    sandhied = apply_tone_sandhi(stream)
+    cores = {j: s for s, j in zip(sandhied, owner) if j is not None}
+    out = []
+    for j, (lead, core, trail) in enumerate(parts):
+        core = cores.get(j, core.lower())
         if core:
-            core = _syllable_to_ipa(core.lower())
+            core = _syllable_to_ipa(core)
         out.append(lead + core + trail)
     return " ".join(out)
 
