@@ -270,3 +270,21 @@ def test_mandarin_tone_sandhi():
     assert pinyin_to_ipa("ni3 hao3") == "ni˧˥ xau˧˩˧"
     # single syllable untouched
     assert pinyin_to_ipa("hao3") == "xau˧˩˧"
+
+
+def test_symbols_read_as_words():
+    """%, currency and degree signs read as words before numerals
+    (espeak behavior; previously the signs were silently dropped)."""
+    from toucan_tpu.frontend.g2p_en import phonemize_english
+    from toucan_tpu.frontend.symbols import expand_symbols
+
+    assert expand_symbols("50% of $5", "en") == "50 percent of 5 dollars"
+    assert expand_symbols("1€ and 20€", "en") == "1 euro and 20 euros"
+    assert expand_symbols("20°C", "en") == "20 degrees Celsius"
+    assert expand_symbols("el 50%", "es") == "el 50 por ciento"
+    assert expand_symbols("50%", "de") == "50 Prozent"
+    assert expand_symbols("50%", "uk") == "50 відсотків"
+    en = phonemize_english("50% of $5")
+    assert "pˈɜɹsɛnt" in en and "dˈɑləɹz" in en
+    ipa = phonemize_rules("el 50% de 20€", "es")
+    assert "θjˈento" in ipa and "ˈeuɾos" in ipa

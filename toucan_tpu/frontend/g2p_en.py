@@ -25,6 +25,9 @@ import re
 # alphabet; ˈ marks primary stress).
 _EXCEPTIONS = {
     "choose": "tʃˈuz", "phase": "fˈeɪz", "national": "nˈæʃənəl",
+    "euro": "jˈʊɹoʊ", "euros": "jˈʊɹoʊz", "dollar": "dˈɑləɹ",
+    "dollars": "dˈɑləɹz", "celsius": "sˈɛlsiəs",
+    "fahrenheit": "fˈɛɹənhaɪt",
     "the": "ðə", "a": "ə", "an": "ən", "of": "ʌv", "to": "tu", "and": "ænd",
     "in": "ɪn", "is": "ɪz", "was": "wˈʌz", "he": "hi", "she": "ʃi",
     "it": "ɪt", "for": "fɔɹ", "on": "ɑn", "are": "ɑɹ", "as": "æz",
@@ -382,6 +385,9 @@ _TOKEN = re.compile(r"[a-zA-Z']+|[^\sa-zA-Z']")
 def phonemize_english(text: str) -> str:
     """Plain English text -> IPA string (words space-separated, punctuation
     kept in place for the frontend's pause handling)."""
+    from toucan_tpu.frontend.symbols import expand_symbols
+
+    text = expand_symbols(text, "en")
     text = _spell_out_numbers(text)
     pieces = []
     for tok in _TOKEN.findall(text):

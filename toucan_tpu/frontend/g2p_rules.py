@@ -940,6 +940,9 @@ _FA_LEXICON = {
     "هجده": "hedʒdæh", "نوزده": "nuzdæh", "بیست": "bist", "سی": "si",
     "چهل": "tʃehel", "پنجاه": "pændʒɒh", "شصت": "ʃæst",
     "هفتاد": "hæftɒd", "هشتاد": "hæʃtɒd", "نود": "nævæd",
+    # unit/symbol words (frontend/symbols.py output)
+    "درصد": "dærsæd", "دلار": "dolɒr", "یورو": "juro", "پوند": "pond",
+    "درجه": "dærædʒe", "علاوه": "ælɒve",
     "صد": "sæd", "دویست": "devist", "سیصد": "sisæd",
     "چهارصد": "tʃæhɒrsæd", "پانصد": "pɒnsæd", "ششصد": "ʃeʃsæd",
     "هفتصد": "hæftsæd", "هشتصد": "hæʃtsæd", "نهصد": "nohsæd",
@@ -1099,6 +1102,9 @@ def phonemize_rules(text: str, lang: str) -> str:
     vi/fa custom transducers); numbers read as full numerals; punctuation
     passes through for the frontend's pause handling
     (``postprocess_phoneme_string``)."""
+    from toucan_tpu.frontend.symbols import expand_symbols
+
+    text = expand_symbols(text, lang)
     if lang == "vi":
         text = _expand_numbers(text, lang, _VI_DIGITS)
         return _vi_g2p(text).translate(_PRECOMPOSED)
