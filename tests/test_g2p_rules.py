@@ -288,3 +288,22 @@ def test_symbols_read_as_words():
     assert "pˈɜɹsɛnt" in en and "dˈɑləɹz" in en
     ipa = phonemize_rules("el 50% de 20€", "es")
     assert "θjˈento" in ipa and "ˈeuɾos" in ipa
+
+
+def test_mandarin_numbers_read_as_numerals():
+    """Digits in Mandarin text read with the 十/百/千/万 structure and
+    standard 零 insertion (previously they were silently dropped)."""
+    from toucan_tpu.frontend.g2p_cmn import number_to_pinyin, pinyin_to_ipa
+
+    assert number_to_pinyin(15) == "shi2 wu3"
+    assert number_to_pinyin(25) == "er4 shi2 wu3"
+    assert number_to_pinyin(105) == "yi1 bai3 ling2 wu3"
+    assert number_to_pinyin(115) == "yi1 bai3 yi1 shi2 wu3"
+    assert number_to_pinyin(1984) == "yi1 qian1 jiu3 bai3 ba1 shi2 si4"
+    assert number_to_pinyin(50000) == "wu3 wan4"
+    # tone digits in pinyin stay tone digits; standalone runs read
+    assert pinyin_to_ipa("ni3 hao3") == "ni˧˥ xau˧˩˧"
+    assert "u˧˩˧ ʂɨ˧˥" in pinyin_to_ipa("you3 50 ben3")
+    from toucan_tpu.frontend.text import TextFrontend
+    feats = TextFrontend(language="cmn").string_to_features("我有50本书")
+    assert feats.shape[0] > 15  # the numeral adds real phones

@@ -93,6 +93,70 @@ def _syllable_to_ipa(syl: str) -> str:
 
 _SYL_RX = re.compile(r"^([a-zA-Zü]+)([0-5])$")
 
+# --------------------------------------------------------------- numerals
+
+_CMN_DIGITS = ["ling2", "yi1", "er4", "san1", "si4", "wu3", "liu4", "qi1",
+               "ba1", "jiu3"]
+
+
+def _cmn_under_1e4(n: int, leading: bool):
+    """0..9999 -> pinyin syllables with standard 零 insertion for skipped
+    units and bare 十 for 10-19 at the start of a number."""
+    parts = []
+    started = False
+    zero_pending = False
+    for val, name in ((1000, "qian1"), (100, "bai3"), (10, "shi2")):
+        d, n = divmod(n, val)
+        if d:
+            if zero_pending:
+                parts.append("ling2")
+                zero_pending = False
+            if d == 1 and val == 10 and not started and leading:
+                parts.append(name)  # 15 = shi2 wu3, but 115 = ... yi1 shi2 wu3
+            else:
+                parts += [_CMN_DIGITS[d], name]
+            started = True
+        elif started:
+            zero_pending = True
+    if n:
+        if zero_pending:
+            parts.append("ling2")
+        parts.append(_CMN_DIGITS[n])
+    return parts
+
+
+def number_to_pinyin(n: int) -> str:
+    """Integer -> numbered-pinyin reading (0..99 999 999 via 万)."""
+    if not 0 <= n < 10**8:
+        raise ValueError(f"number out of range: {n}")
+    if n < 10:
+        return _CMN_DIGITS[n]
+    wan, rest = divmod(n, 10000)
+    parts = []
+    if wan:
+        parts += _cmn_under_1e4(wan, leading=True) if wan >= 10 \
+            else [_CMN_DIGITS[wan]]
+        parts.append("wan4")
+        if 0 < rest < 1000:
+            parts.append("ling2")
+        parts += _cmn_under_1e4(rest, leading=False)
+    else:
+        parts = _cmn_under_1e4(rest, leading=True)
+    return " ".join(parts)
+
+
+def _expand_cmn_numbers(text: str) -> str:
+    def read(m):
+        s = m.group(0)
+        n = int(s)
+        if n < 10**8 and not (s[0] == "0" and len(s) > 1):
+            return " " + number_to_pinyin(n) + " "
+        return " " + " ".join(_CMN_DIGITS[int(d)] for d in s) + " "
+
+    # the lookbehind keeps tone digits attached to pinyin syllables
+    # ("ni3") out of numeral expansion — only standalone digit runs read
+    return re.sub(r"(?<![a-zA-Zü\d])\d+", read, text)
+
 
 def apply_tone_sandhi(syllables):
     """Standard Mandarin tone sandhi over a numbered-pinyin syllable list
@@ -133,9 +197,10 @@ def apply_tone_sandhi(syllables):
 
 def pinyin_to_ipa(text: str) -> str:
     """Numbered-pinyin text ("zhe4 shi4 ...") -> IPA with register marks,
-    dragonmapper-compatible output format, with standard tone sandhi
+    dragonmapper-compatible output format, with digits read as Mandarin
+    numerals (五十 structure incl. 零 insertion) and standard tone sandhi
     applied across the syllable stream."""
-    tokens = text.split()
+    tokens = _expand_cmn_numbers(text).split()
     # split each token into (lead, core, trail); sandhi runs over the core
     # stream with explicit "#" boundary markers where punctuation breaks
     # the prosodic context (before a leading mark / after a trailing one)
