@@ -307,3 +307,16 @@ def test_mandarin_numbers_read_as_numerals():
     from toucan_tpu.frontend.text import TextFrontend
     feats = TextFrontend(language="cmn").string_to_features("我有50本书")
     assert feats.shape[0] > 15  # the numeral adds real phones
+
+
+def test_decimals_and_thousand_grouping():
+    """espeak conventions: continental "," reads as the decimal word with
+    the fraction digit by digit; "."/"," thousands groups collapse."""
+    from toucan_tpu.frontend.g2p_en import phonemize_english
+
+    en = phonemize_english("3.14 and 1,000")
+    assert "pˈɔɪnt" in en and "θˈaʊzænd" in en
+    es = phonemize_rules("3,14", "es")
+    assert "kˈoma" in es and "tɾˈes" in es
+    de = phonemize_rules("3,14", "de")
+    assert "kˈɔma" in de

@@ -301,6 +301,15 @@ def number_to_words(n: int) -> str:
 
 
 def _spell_out_numbers(text: str) -> str:
+    # English conventions: "," groups thousands (1,000 -> 1000);
+    # "." reads as "point" with the fraction digit by digit
+    text = re.sub(r"(\d{1,3})(?:,(?=\d{3}))((?:\d{3},?)*\d{3})(?!\d)",
+                  lambda m: m.group(1) + m.group(2).replace(",", ""), text)
+    text = re.sub(
+        r"(\d+)\.(\d+)(?!\d)",
+        lambda m: f"{m.group(1)} point "
+                  + " ".join(number_to_words(int(d)) for d in m.group(2)),
+        text)
     return re.sub(r"\d+", lambda m: number_to_words(int(m.group())), text)
 
 

@@ -510,6 +510,7 @@ _RU_STRESS = {
     "двести": 0, "триста": 0, "четыреста": 1, "пятьсот": 1,
     "шестьсот": 1, "семьсот": 1, "восемьсот": 2, "девятьсот": 2,
     "тысяча": 0, "тысячи": 0, "тысяч": 0, "одна": 1,
+    "запятая": 2, "процентов": 1, "долларов": 0, "градусов": 0,
 }
 
 # unstressed function words (clitics): never auto-stress the monosyllable
@@ -584,6 +585,7 @@ _UK_STRESS = {
     "двісті": 0, "триста": 0, "чотириста": 1, "пятсот": 1,
     "шістсот": 1, "сімсот": 1, "вісімсот": 2, "девятсот": 2,
     "тисяча": 0, "тисячі": 0, "тисяч": 0, "одна": 1, "дві": 0,
+    "кома": 0, "відсотків": 1, "доларів": 0, "градусів": 0,
 }
 
 _UK_CLITICS = {"в", "у", "і", "й", "з", "із", "зі", "на", "за", "по", "до",
@@ -1076,9 +1078,26 @@ _PRECOMPOSED = str.maketrans({
 
 
 def _expand_numbers(text: str, lang: str, digits: Sequence[str]) -> str:
-    """Replace integer tokens with full numerals (frontend/numbers.py,
-    espeak behavior); out-of-range or unsupported -> digit-by-digit."""
-    from toucan_tpu.frontend.numbers import MAX_NUMBER, number_to_words
+    """Replace number tokens with full numerals (frontend/numbers.py,
+    espeak behavior); out-of-range or unsupported -> digit-by-digit.
+    Continental conventions: "." groups thousands (collapsed), "," reads
+    as the language's decimal word with the fraction digit by digit."""
+    from toucan_tpu.frontend.numbers import (DECIMAL_WORDS, MAX_NUMBER,
+                                             number_to_words)
+
+    # 1.234.567 -> 1234567 (dot-grouped thousands)
+    text = re.sub(r"(\d{1,3})(?:\.(?=\d{3}))((?:\d{3}\.?)*\d{3})(?!\d)",
+                  lambda m: m.group(1) + m.group(2).replace(".", ""), text)
+
+    def read_decimal(m):
+        word = DECIMAL_WORDS.get(lang)
+        if word is None:
+            return m.group(0)
+        frac = " ".join(digits[int(d)] for d in m.group(2))
+        # lowercase: rule languages run on lowered text (de "Komma")
+        return f" {m.group(1)} {word.lower()} {frac} "
+
+    text = re.sub(r"(\d+),(\d+)(?!\d)", read_decimal, text)
 
     def read(m):
         s = m.group(0)

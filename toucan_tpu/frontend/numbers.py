@@ -504,6 +504,16 @@ _READERS = {
 
 MAX_NUMBER = 999_999
 
+# how the decimal separator reads per language (espeak behavior: the
+# integer part reads as a numeral, the separator as this word, the
+# fraction digit by digit)
+DECIMAL_WORDS = {
+    "es": "coma", "it": "virgola", "fr": "virgule", "pt": "vírgula",
+    "pt-br": "vírgula", "de": "Komma", "nl": "komma", "fi": "pilkku",
+    "hu": "vessző", "el": "κόμμα", "pl": "przecinek", "ru": "запятая",
+    "uk": "кома", "vi": "phẩy", "fa": "ممیز", "en": "point",
+}
+
 
 def number_to_words(n: int, lang: str) -> str:
     """Read integer ``n`` (0..999 999) as words in ``lang``'s orthography.
