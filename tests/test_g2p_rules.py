@@ -258,11 +258,16 @@ def test_mandarin_tone_sandhi():
     assert apply_tone_sandhi(["ni3", "hao3"]) == ["ni2", "hao3"]
     assert apply_tone_sandhi(["wo3", "hen3", "hao3"]) == \
         ["wo3", "hen2", "hao3"]
-    assert apply_tone_sandhi(["bu4", "shi4"]) == ["bu2", "shi4"]
-    assert apply_tone_sandhi(["bu4", "hao3"]) == ["bu4", "hao3"]
-    assert apply_tone_sandhi(["yi1", "ge4"]) == ["yi2", "ge4"]
-    assert apply_tone_sandhi(["yi1", "tian1"]) == ["yi4", "tian1"]
-    assert apply_tone_sandhi(["di4", "yi1"]) == ["di4", "yi1"]
+    # 不/一 are MORPHEMIC: applied only where the hanzi is known (部 bu4
+    # and 医 yi1 must keep their tones at the pinyin level)
+    from toucan_tpu.frontend.g2p_cmn import hanzi_to_pinyin
+    assert hanzi_to_pinyin("不是") == "bu2 shi4"
+    assert hanzi_to_pinyin("不好") == "bu4 hao3"
+    assert hanzi_to_pinyin("一个") == "yi2 ge4"
+    assert hanzi_to_pinyin("一天") == "yi4 tian1"
+    assert hanzi_to_pinyin("第一") == "di4 yi1"
+    assert apply_tone_sandhi(["bu4", "fen4"]) == ["bu4", "fen4"]  # 部分
+    assert apply_tone_sandhi(["yi1", "yuan4"]) == ["yi1", "yuan4"]  # 医院
     # punctuation is a prosodic boundary: no sandhi across it
     assert apply_tone_sandhi(["hao3", "#", "hao3", "hao3"]) == \
         ["hao3", "#", "hao2", "hao3"]
@@ -297,9 +302,9 @@ def test_mandarin_numbers_read_as_numerals():
 
     assert number_to_pinyin(15) == "shi2 wu3"
     assert number_to_pinyin(25) == "er4 shi2 wu3"
-    assert number_to_pinyin(105) == "yi1 bai3 ling2 wu3"
-    assert number_to_pinyin(115) == "yi1 bai3 yi1 shi2 wu3"
-    assert number_to_pinyin(1984) == "yi1 qian1 jiu3 bai3 ba1 shi2 si4"
+    assert number_to_pinyin(105) == "yi4 bai3 ling2 wu3"
+    assert number_to_pinyin(115) == "yi4 bai3 yi1 shi2 wu3"
+    assert number_to_pinyin(1984) == "yi4 qian1 jiu3 bai3 ba1 shi2 si4"
     assert number_to_pinyin(50000) == "wu3 wan4"
     # tone digits in pinyin stay tone digits; standalone runs read
     assert pinyin_to_ipa("ni3 hao3") == "ni˧˥ xau˧˩˧"

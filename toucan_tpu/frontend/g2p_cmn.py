@@ -9,15 +9,18 @@ this image, so this module provides:
   final + tone number) emitting the same IPA-with-register-marks format
   dragonmapper produces (tones 1-4 -> ˥ / ˧˥ / ˧˩˧ / ˥˩, neutral bare),
   restricted to the articulatory inventory;
-* ``hanzi_to_pinyin`` — a built-in reading table for ~250 of the most
-  common characters (enough for the reference's smoke sentence and basic
-  text); unknown characters raise with guidance (install pypinyin, or
-  input pinyin/IPA directly — both are first-class frontend inputs).
+* ``hanzi_to_pinyin`` — a built-in reading table for ~570 of the most
+  common characters; unknown characters raise with guidance (install
+  pypinyin, or input pinyin/IPA directly — both are first-class frontend
+  inputs).
 
-pypinyin/dragonmapper remain the preferred backends when installed
-(polyphone disambiguation, full coverage); the frontend uses them first
-and falls back here.  Tone sandhi (3-3 -> 2-3, 不/一) is not modeled —
-matching pypinyin's default behavior.
+Digits read as Mandarin numerals (``number_to_pinyin``: 十/百/千/万
+composition with 零 insertion) and standard tone sandhi applies across
+the syllable stream (``apply_tone_sandhi``: 3-3 -> 2-3, 不/一) — both
+EXCEED the reference's pypinyin fallback, which carries lexical tones
+only and drops digits.  pypinyin/dragonmapper remain the preferred
+backends when installed (polyphone disambiguation, full hanzi coverage);
+the frontend uses them first and falls back here.
 """
 
 from __future__ import annotations
@@ -142,6 +145,11 @@ def number_to_pinyin(n: int) -> str:
         parts += _cmn_under_1e4(rest, leading=False)
     else:
         parts = _cmn_under_1e4(rest, leading=True)
+    # morphemic 一 sandhi inside numerals: 一万 yi2 wan4, 一千/一百
+    # yi4 qian1 / yi4 bai3; the final digit 一 keeps yi1 (shi2 yi1)
+    for i, p in enumerate(parts[:-1]):
+        if p == "yi1" and parts[i + 1] in ("wan4", "qian1", "bai3"):
+            parts[i] = "yi2" if parts[i + 1] == "wan4" else "yi4"
     return " ".join(parts)
 
 
@@ -165,29 +173,18 @@ def apply_tone_sandhi(syllables):
 
     * third-tone sandhi: 3 3 -> 2 3, applied right-to-left so a run
       resolves pairwise ("wo3 hen3 hao3" -> "wo3 hen2 hao3", the standard
-      [wo [hen hao]] phrasing);
-    * 不 bu4 -> bu2 before a tone-4 syllable;
-    * 一 yi1 -> yi2 before tone 4, yi4 before tones 1/2/3 (approximated
-      at the pinyin level; ordinal/final 一 keeps yi1 when nothing
-      follows).
+      [wo [hen hao]] phrasing).
+
+    The 不/一 tone changes are NOT applied here: they are morphemic, and
+    at the pinyin level "bu4"/"yi1" are ambiguous (部 bu4, 医 yi1 must
+    keep their tones).  The hanzi path (``hanzi_to_pinyin``) and the
+    numeral reader (``number_to_pinyin``) apply them where the morpheme
+    is known; explicit numbered-pinyin input keeps its written tones.
 
     Tokens that are not numbered syllables pass through and break sandhi
     context (punctuation = prosodic boundary)."""
-    parsed = [(m.groups() if (m := _SYL_RX.match(s)) else None)
-              for s in syllables]
     out = list(syllables)
-    for i, cur in enumerate(parsed):
-        nxt = parsed[i + 1] if i + 1 < len(parsed) else None
-        if cur is None or nxt is None:
-            continue
-        body, tone = cur
-        if body == "bu" and tone == "4" and nxt[1] == "4":
-            out[i] = "bu2"
-        elif body == "yi" and tone == "1" and nxt[1] in "1234":
-            out[i] = "yi2" if nxt[1] == "4" else "yi4"
-    # third-tone sandhi right-to-left so runs resolve like espeak
-    # ("hen3 hao3" -> "hen2 hao3"; the 不/一 pass above may have changed
-    # tones, so re-read from `out`)
+    # right-to-left so runs resolve like espeak ("hen3 hao3" -> "hen2 hao3")
     for i in range(len(out) - 2, -1, -1):
         m, n = _SYL_RX.match(out[i]), _SYL_RX.match(out[i + 1])
         if m and n and m.group(2) == "3" and n.group(2) == "3":
@@ -354,6 +351,9 @@ HANZI_PINYIN = {
     "洲": "zhou1", "欧": "ou1", "亚": "ya4", "非": "fei1", "俄": "e2",
     "英": "ying1", "德": "de2", "腊": "la4", "印": "yin4", "度": "du4",
     "韩": "han2", "朝": "chao2", "越": "yue4", "泰": "tai4",
+    "汉": "han4", "词": "ci2", "典": "dian3", "姐": "jie3", "哥": "ge1",
+    "校": "xiao4", "院": "yuan4", "楚": "chu3", "晨": "chen2",
+    "弟": "di4", "妹": "mei4", "孩": "hai2", "狮": "shi1", "熊": "xiong2",
 }
 
 _HAN_RX = re.compile(r"[一-鿿]")
@@ -364,10 +364,13 @@ def has_hanzi(text: str) -> bool:
 
 
 def hanzi_to_pinyin(text: str) -> str:
-    """Character-by-character reading via the built-in table.  Punctuation
-    passes through (the frontend's pause handling needs it); unknown hanzi
-    raise with guidance."""
-    out = []
+    """Character-by-character reading via the built-in table, with the
+    morphemic 不/一 tone changes applied in place (this path KNOWS which
+    syllable is the morpheme: 不 bu4 -> bu2 before tone 4; 一 yi1 -> yi2
+    before tone 4 / yi4 before tones 1-3, except ordinal 第一 and final
+    position).  Punctuation passes through (the frontend's pause handling
+    needs it); unknown hanzi raise with guidance."""
+    chars = []  # (hanzi | None, emitted text)
     for ch in text:
         if _HAN_RX.match(ch):
             reading = HANZI_PINYIN.get(ch)
@@ -376,7 +379,17 @@ def hanzi_to_pinyin(text: str) -> str:
                     f"no built-in reading for {ch!r} — install pypinyin for "
                     "full hanzi coverage, or input pinyin "
                     "(e.g. 'ni3 hao3') or IPA directly")
-            out.append(" " + reading + " ")
+            chars.append((ch, reading))
         else:
-            out.append(ch)
-    return re.sub(r"\s+", " ", "".join(out)).strip()
+            chars.append((None, ch))
+    for i, (ch, reading) in enumerate(chars):
+        nxt = chars[i + 1] if i + 1 < len(chars) else (None, "")
+        nxt_tone = nxt[1][-1] if nxt[0] and nxt[1][-1] in "12345" else None
+        prev_ch = chars[i - 1][0] if i else None
+        if ch == "不" and nxt_tone == "4":
+            chars[i] = (ch, "bu2")
+        elif ch == "一" and nxt_tone in ("1", "2", "3", "4") \
+                and prev_ch != "第":
+            chars[i] = (ch, "yi2" if nxt_tone == "4" else "yi4")
+    out = "".join((" " + r + " ") if h else r for h, r in chars)
+    return re.sub(r"\s+", " ", out).strip()
