@@ -7,6 +7,7 @@ from toucan_tpu.frontend.g2p_eval import evaluate
 MIN_WORD_ACC = {
     "en": 1.0, "es": 1.0, "de": 1.0, "fr": 1.0, "fi": 1.0, "hu": 1.0,
     "el": 1.0, "ru": 1.0, "uk": 1.0, "fa": 1.0, "vi": 1.0,
+    "cmn": 1.0,
     "it": 0.90, "nl": 0.95, "pl": 0.95, "pt": 0.95,
 }
 MAX_PER = 0.03

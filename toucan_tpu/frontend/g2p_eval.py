@@ -60,6 +60,9 @@ def phonemize_word(word: str, lang: str) -> str:
     if lang == "en":
         from toucan_tpu.frontend.g2p_en import phonemize_english
         return phonemize_english(word)
+    if lang == "cmn":
+        from toucan_tpu.frontend.g2p_cmn import hanzi_to_pinyin, pinyin_to_ipa
+        return pinyin_to_ipa(hanzi_to_pinyin(word))
     from toucan_tpu.frontend.g2p_rules import phonemize_rules
     return phonemize_rules(word, lang)
 
