@@ -28,6 +28,11 @@ _EXCEPTIONS = {
     "euro": "jˈʊɹoʊ", "euros": "jˈʊɹoʊz", "dollar": "dˈɑləɹ",
     "dollars": "dˈɑləɹz", "celsius": "sˈɛlsiəs",
     "fahrenheit": "fˈɛɹənhaɪt",
+    "important": "ɪmpˈɔɹtənt", "different": "dˈɪfɹənt",
+    "country": "kˈʌntɹi", "countries": "kˈʌntɹiz",
+    "mountain": "mˈaʊntən", "mountains": "mˈaʊntənz",
+    "fountain": "fˈaʊntən", "listen": "lˈɪsən", "against": "əɡˈɛnst",
+    "pretty": "pɹˈɪti", "pi": "pˈaɪ",
     "the": "ðə", "a": "ə", "an": "ən", "of": "ʌv", "to": "tu", "and": "ænd",
     "in": "ɪn", "is": "ɪz", "was": "wˈʌz", "he": "hi", "she": "ʃi",
     "it": "ɪt", "for": "fɔɹ", "on": "ɑn", "are": "ɑɹ", "as": "æz",
@@ -108,6 +113,7 @@ _RULES = [
     ("aught", None, None, "ɔt"),
     ("ation", None, None, "eɪʃən"),   # nation, station: long a
     ("otion", None, None, "oʊʃən"),   # motion, lotion: long o
+    ("stion", None, None, "stʃən"),   # question, suggestion
     ("tion", None, None, "ʃən"),
     ("sion", _V, None, "ʒən"),
     ("sion", None, None, "ʃən"),

@@ -719,6 +719,9 @@ _FR_LEXICON = {
     "huit": "ɥit", "oui": "wi", "femme": "fam", "fils": "fis",
     "vingt": "vɛ̃", "soixante": "swasɑ̃t", "mille": "mil", "onze": "ɔ̃z",
     "temps": "tɑ̃", "blanc": "blɑ̃", "ville": "vil", "tranquille": "tʁɑ̃kil",
+    # monosyllabic -er words keep ɛʁ (the -er -> e rule is for verbs)
+    "mer": "mɛʁ", "fer": "fɛʁ", "cher": "ʃɛʁ", "hier": "jɛʁ",
+    "amer": "amɛʁ", "hiver": "ivɛʁ",
 }
 
 # elided clitics before an apostrophe (c'est, j'ai, qu'il ...)
@@ -736,6 +739,7 @@ _FR_RULES = [
     Rule("ain", "ɛ̃", post="[^aeiouéèêy]|$"), Rule("aim", "ɛ̃", post="[^aeiouéèêy]|$"),
     Rule("ein", "ɛ̃", post="[^aeiouéèêy]|$"),
     Rule("oin", "wɛ̃", post="[^aeiouéèêy]|$"),
+    Rule("ien", "jɛ̃", post="s?$"),  # chien, bien, rien
     Rule("an", "ɑ̃", post="[^aeiounmhéèêy]|$"), Rule("am", "ɑ̃", post="[pb]"),
     Rule("en", "ɑ̃", post="[^aeiounmhéèêy]|$"), Rule("em", "ɑ̃", post="[pb]"),
     Rule("in", "ɛ̃", post="[^aeiounmhéèêy]|$"), Rule("im", "ɛ̃", post="[pb]"),
@@ -759,7 +763,8 @@ _FR_RULES = [
     Rule("e", "ə", post="$"),
     Rule("s", "", post="$"), Rule("t", "", post="$"), Rule("d", "", post="$"),
     Rule("p", "", post="$"), Rule("x", "", post="$"), Rule("z", "", post="$"),
-    Rule("e", "ɛ", post="x"), Rule("e", "ɛ", post="[^aeiou][^aeiou]"),
+    Rule("e", "ɛ", post="x"),
+    Rule("e", "ɛ", post="[^aeiouéèêëàâîïôûù][^aeiouéèêëàâîïôûù]"),
     Rule("e", "ə"),
     Rule("é", "e"), Rule("è", "ɛ"), Rule("ê", "ɛ"), Rule("ë", "ɛ"),
     Rule("à", "a"), Rule("â", "a"), Rule("î", "i"), Rule("ï", "i"),
