@@ -95,13 +95,20 @@ class RuleSet:
         return "".join(out)
 
 
+_STRONG_VOWELS = "aeoɔɛæɑ"  # two adjacent strong vowels = hiatus
+
+
 def _vowel_runs(ipa: str) -> List[int]:
-    """Start indices of the maximal vowel runs (syllable nuclei)."""
+    """Start indices of the syllable nuclei: maximal vowel runs, except
+    that two adjacent STRONG vowels split into separate nuclei (Romance
+    hiatus: es "aora" -> a.o, it "paese" -> pa.e; glide+vowel and
+    vowel+glide sequences like je/aɪ/ei stay one nucleus)."""
     runs = []
     prev_vowel = False
     for i, ch in enumerate(ipa):
         is_v = ch in IPA_VOWELS
-        if is_v and not prev_vowel:
+        if is_v and (not prev_vowel
+                     or (ch in _STRONG_VOWELS and ipa[i - 1] in _STRONG_VOWELS)):
             runs.append(i)
         prev_vowel = is_v or (prev_vowel and ch in "ː̃")
     return runs
