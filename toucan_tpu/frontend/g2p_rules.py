@@ -347,7 +347,15 @@ _PL_RULES = [
     Rule("sz", "ʃ"), Rule("cz", "tʃ"), Rule("rz", "ʃ", pre="[ptk]"),
     Rule("rz", "ʒ"), Rule("ch", "x"),
     Rule("ć", "tɕ"), Rule("ś", "ɕ"), Rule("ź", "ʑ"), Rule("ń", "ɲ"),
-    Rule("ż", "ʒ"), Rule("ł", "w"), Rule("w", "v"),
+    # obstruent devoicing: word-finally and before voiceless consonants
+    # (książka -> kɕɔ̃ʃka, chleb -> xlɛp, twoja -> tfɔja) — fully regular
+    # in standard Polish
+    Rule("ż", "ʃ", post="[ptkcsśćfh]|$"), Rule("ż", "ʒ"),
+    Rule("ł", "w"),
+    Rule("w", "f", post="[ptkcsśćfh]|$"), Rule("w", "f", pre="[ptkcsśćfh]"),
+    Rule("w", "v"),
+    Rule("b", "p", post="$"), Rule("d", "t", post="$"),
+    Rule("g", "k", post="$"), Rule("z", "s", post="$"),
     # nasal vowels decompose before plosives (ęk -> ɛŋk, ąt -> ɔnt) and ę
     # denasalizes word-finally (standard Warsaw pronunciation)
     Rule("ą", "ɔŋ", post="[kg]"), Rule("ą", "ɔn", post="[tdc]"),
@@ -388,7 +396,9 @@ _NL_RULES = [
     Rule("a", "ɑ"), Rule("e", "ɛ"),
     Rule("i", "ɪ"), Rule("o", "ɔ"), Rule("u", "ʏ"), Rule("y", "i"),
     Rule("b", "b"), Rule("c", "s", post="[ei]"), Rule("c", "k"),
-    Rule("d", "t", post="$"), Rule("d", "d"), Rule("f", "f"),
+    Rule("d", "t", post="$"), Rule("d", "d"),
+    Rule("f", "v", post="[bd]"),  # regressive voicing: liefde -> livdə
+    Rule("f", "f"),
     Rule("g", "x", post="$"), Rule("g", "ɣ"), Rule("h", "ɦ"),
     Rule("j", "j"), Rule("k", "k"),
     Rule("l", "l"), Rule("m", "m"), Rule("n", "n"), Rule("p", "p"),
@@ -700,6 +710,7 @@ _PT_RULES = [
     Rule("e", "ɛ", post="r$"),  # colher, mulher
     Rule("r", "ʁ", pre="^"), Rule("r", "ʁ", post="$"), Rule("r", "ɾ"),
     Rule("o", "u", post="$"), Rule("e", "i", post="$"),
+    Rule("e", "i", pre="^", post="s[^aeiouáéíóú]"),  # escola -> iskɔla
     Rule("a", "ɐ", post="$"),
     Rule("a", "a"), Rule("e", "e"), Rule("i", "i"), Rule("o", "o"),
     Rule("u", "u"),
