@@ -203,4 +203,32 @@ def bench_pipelined_vs_sequential(on_tpu, dtype, n_batches: int = 8):
         "e2e_pipelined_audio_s_per_s": round(n_batches * audio_s / pipe_s, 1),
         "e2e_pipelined_two_stage_devices": pipe.two_stage,
     }
+
+    # single-utterance serving latency (BASELINE config 1 is a single
+    # sentence): one fused text->wave dispatch at B=1 with a ~16-phone
+    # input, measured to host-visible completion (best of 5 after warm)
+    b1, t1, f1 = 1, 32, 256
+    text1 = (jax.random.uniform(rng, (b1, t1, 62)) > 0.5).astype(jnp.float32)
+    lens1 = jnp.full((b1,), 16, jnp.int32)
+    utt1 = jax.random.normal(rng, (b1, 64), jnp.float32)
+    lang1 = jnp.zeros((b1, 1), jnp.int32)
+    noise1 = jax.random.normal(rng, (b1, f1, 80)) * 0.8
+
+    def fused1(tv, vv, tx):
+        outs = model.apply(tv, tx, lens1, f1, utterance_embedding=utt1,
+                           lang_ids=lang1, glow_noise=noise1,
+                           run_glow=True, method=ToucanTTS.infer)
+        _, after, _, _, _, mlens = outs
+        mask = (jnp.arange(f1)[None, :] < mlens[:, None])[..., None]
+        mel = jnp.where(mask, after.astype(jnp.float32), 0.0)
+        return vocoder.apply(vv, mel)[..., 0], mlens
+
+    fused1_j = jax.jit(fused1)
+    jax.block_until_ready(fused1_j(tts_vars, voc_vars, text1))
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fused1_j(tts_vars, voc_vars, text1))
+        best = min(best, time.perf_counter() - t0)
+    out["single_utterance_latency_ms"] = round(best * 1000, 1)
     return out
