@@ -8,7 +8,7 @@ MIN_WORD_ACC = {
     "en": 1.0, "es": 1.0, "de": 1.0, "fr": 1.0, "fi": 1.0, "hu": 1.0,
     "el": 1.0, "ru": 1.0, "uk": 1.0, "fa": 1.0, "vi": 1.0,
     "cmn": 1.0,
-    "it": 0.90, "nl": 1.0, "pl": 1.0, "pt": 0.95,
+    "it": 1.0, "nl": 1.0, "pl": 1.0, "pt": 1.0,
 }
 MAX_PER = 0.03
 
@@ -28,9 +28,10 @@ def test_g2p_accuracy_floors():
 
 
 def test_residual_errors_are_the_documented_ones():
-    """The five known gaps (G2P.md) stay known — anything new shows up."""
+    """End of round 4 the whole 400-word fixture passes (the lexical
+    it/pt open-vowel class is lexicon-covered for common words); any new
+    error shows up here by name."""
     results = evaluate()
     residual = {(lang, w) for lang, r in results.items()
                 for (w, _, _) in r["errors"]}
-    assert residual == {("it", "notte"), ("it", "bella"),
-                        ("pt", "escola")}, residual
+    assert residual == set(), residual

@@ -241,6 +241,22 @@ _IT_RULES = [
 _IT_DIGITS = ["zero", "uno", "due", "tre", "quattro", "cinque", "sei",
               "sette", "otto", "nove"]
 
+# open-mid ɛ/ɔ are lexical in Italian orthography — the rules default to
+# closed e/o; this lexicon carries the open vowels for frequent words
+_IT_LEXICON = {
+    "bello": "bˈɛllo", "bella": "bˈɛlla", "belli": "bˈɛlli",
+    "belle": "bˈɛlle", "notte": "nˈɔtte", "porta": "pˈɔrta",
+    "donna": "dˈɔnna", "donne": "dˈɔnne", "otto": "ˈɔtto",
+    "nove": "nˈɔve", "sette": "sˈɛtte", "dieci": "djˈɛtʃi",
+    "festa": "fˈɛsta", "terra": "tˈɛrra", "guerra": "ɡwˈɛrra",
+    "forte": "fˈɔrte", "morte": "mˈɔrte", "posto": "pˈɔsto",
+    "nostro": "nˈɔstro", "vostro": "vˈɔstro", "piede": "pjˈɛde",
+    "pietra": "pjˈɛtra", "vecchio": "vˈɛkkjo", "occhio": "ˈɔkkjo",
+    "occhi": "ˈɔkki", "petto": "pˈɛtto", "erba": "ˈɛrba",
+    "tempo": "tˈɛmpo", "gente": "dʒˈɛnte", "niente": "njˈɛnte",
+    "bene": "bˈɛne", "male": "mˈale", "cuore": "kwˈɔre",
+}
+
 # ---------------------------------------------------------------------------
 # Finnish (close to 1:1; double letters = length)
 # ---------------------------------------------------------------------------
@@ -725,6 +741,16 @@ _PT_RULES = [
 _PT_DIGITS = ["zero", "um", "dois", "três", "quatro", "cinco", "seis",
               "sete", "oito", "nove"]
 
+# open-mid ɛ/ɔ are lexical in Portuguese too (rules default closed)
+_PT_LEXICON = {
+    "escola": "iskˈɔlɐ", "escolas": "iskˈɔlɐʃ", "bola": "bˈɔlɐ",
+    "festa": "fˈɛʃtɐ", "pedra": "pˈɛdɾɐ", "terra": "tˈɛʁɐ",
+    "guerra": "ɡˈɛʁɐ", "porta": "pˈɔɾtɐ", "morte": "mˈɔɾti",
+    "forte": "fˈɔɾti", "nove": "nˈɔvi", "sete": "sˈɛti",
+    "dez": "dˈɛʃ", "ela": "ˈɛlɐ", "ele": "ˈeli", "avó": "avˈɔ",
+    "avô": "avˈo", "pé": "pˈɛ", "só": "sˈɔ",
+}
+
 # ---------------------------------------------------------------------------
 # French (approximation; final-syllable prominence)
 # ---------------------------------------------------------------------------
@@ -1070,7 +1096,7 @@ def _fa_g2p(text: str) -> str:
 def _language(lang: str) -> Language:
     table: Dict[str, Tuple[list, Callable, list, dict]] = {
         "es": (_ES_RULES, stress_spanish, _ES_DIGITS, {}),
-        "it": (_IT_RULES, stress_italian, _IT_DIGITS, {}),
+        "it": (_IT_RULES, stress_italian, _IT_DIGITS, _IT_LEXICON),
         "fi": (_FI_RULES, stress_initial, _FI_DIGITS, {}),
         "el": (_EL_RULES, stress_marked_only, _EL_DIGITS, {}),
         "hu": (_HU_RULES, stress_initial, _HU_DIGITS, {}),
@@ -1079,8 +1105,8 @@ def _language(lang: str) -> Language:
         "de": (_DE_RULES, stress_initial, _DE_DIGITS, _DE_LEXICON),
         "ru": (_RU_RULES, stress_russian, _RU_DIGITS, {}),
         "uk": (_UK_RULES, stress_ukrainian, _UK_DIGITS, {}),
-        "pt": (_PT_RULES, stress_portuguese, _PT_DIGITS, {}),
-        "pt-br": (_PT_RULES, stress_portuguese, _PT_DIGITS, {}),
+        "pt": (_PT_RULES, stress_portuguese, _PT_DIGITS, _PT_LEXICON),
+        "pt-br": (_PT_RULES, stress_portuguese, _PT_DIGITS, _PT_LEXICON),
         "fr": (_FR_RULES, stress_french, _FR_DIGITS, _FR_LEXICON),
     }
     rules, stress, digits, lexicon = table[lang]
