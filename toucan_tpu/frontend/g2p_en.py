@@ -33,6 +33,23 @@ _EXCEPTIONS = {
     "mountain": "mˈaʊntən", "mountains": "mˈaʊntənz",
     "fountain": "fˈaʊntən", "listen": "lˈɪsən", "against": "əɡˈɛnst",
     "pretty": "pɹˈɪti", "pi": "pˈaɪ",
+    # round-4 frequent-word sweep (errors found reviewing the top ~400)
+    "called": "kˈɔld", "calling": "kˈɔlɪŋ", "before": "bɪfˈɔɹ",
+    "follow": "fˈɑloʊ", "following": "fˈɑloʊɪŋ", "window": "wˈɪndoʊ",
+    "yellow": "jˈɛloʊ", "tomorrow": "təmˈɑɹoʊ", "narrow": "nˈɛɹoʊ",
+    "try": "tɹˈaɪ", "tried": "tɹˈaɪd", "trying": "tɹˈaɪɪŋ",
+    "cry": "kɹˈaɪ", "fly": "flˈaɪ", "dry": "dɹˈaɪ", "sky": "skˈaɪ",
+    "shy": "ʃˈaɪ", "away": "əwˈeɪ", "between": "bɪtwˈin",
+    "below": "bɪlˈoʊ", "few": "fjˈu", "until": "ənˈtɪl",
+    "began": "bɪɡˈæn", "begin": "bɪɡˈɪn", "paper": "pˈeɪpəɹ",
+    "later": "lˈeɪtəɹ", "lady": "lˈeɪdi", "baby": "bˈeɪbi",
+    "today": "tədˈeɪ", "tonight": "tənˈaɪt", "however": "haʊˈɛvəɹ",
+    "across": "əkɹˈɔs", "toward": "təwˈɔɹd", "towards": "təwˈɔɹdz",
+    "second": "sˈɛkənd", "upon": "əpˈɑn", "almost": "ˈɔlmoʊst",
+    "become": "bɪkˈʌm", "behind": "bɪhˈaɪnd", "beside": "bɪsˈaɪd",
+    "shall": "ʃˈæl", "pal": "pˈæl", "gal": "ɡˈæl", "canal": "kənˈæl",
+    "danger": "dˈeɪndʒəɹ", "stranger": "stɹˈeɪndʒəɹ",
+    "strange": "stɹˈeɪndʒ", "local": "lˈoʊkəl", "legal": "lˈiɡəl",
     "the": "ðə", "a": "ə", "an": "ən", "of": "ʌv", "to": "tu", "and": "ænd",
     "in": "ɪn", "is": "ɪz", "was": "wˈʌz", "he": "hi", "she": "ʃi",
     "it": "ɪt", "for": "fɔɹ", "on": "ɑn", "are": "ɑɹ", "as": "æz",
@@ -114,6 +131,11 @@ _RULES = [
     ("ation", None, None, "eɪʃən"),   # nation, station: long a
     ("otion", None, None, "oʊʃən"),   # motion, lotion: long o
     ("stion", None, None, "stʃən"),   # question, suggestion
+    ("ar", None, "$", "ɑɹ"),          # car, far, star (word-final)
+    # final -al: ɔl in monosyllables (call/ball — the ll collapses to l
+    # before rules run), schwa in longer words (animal, several, local)
+    ("al", "^" + _C + "*", "$", "ɔl"),
+    ("al", _V + ".*", "$", "əl"),
     ("tion", None, None, "ʃən"),
     ("sion", _V, None, "ʒən"),
     ("sion", None, None, "ʃən"),
