@@ -442,7 +442,9 @@ _DE_LEXICON = {
     "ist": "ɪst", "bin": "bɪn", "hin": "hɪn", "hin-": "hɪn",
     "weg": "vɛk", "zu": "tsuː", "er": "ɛɐ", "der": "deːɐ", "wir": "viːɐ",
     "mir": "miːɐ", "dir": "diːɐ", "vor": "foːɐ", "nur": "nuːɐ",
-    "für": "fyːɐ", "zur": "tsuːɐ", "buch": "buːx", "nach": "naːx",
+    "für": "fyːɐ", "zur": "tsuːɐ", "wer": "veːɐ", "her": "heːɐ",
+    "schwer": "ʃveːɐ", "mehr": "meːɐ", "sehr": "zeːɐ",
+    "buch": "buːx", "nach": "naːx",
     "doch": "dɔx", "auch": "aʊx", "sich": "zɪç", "mich": "mɪç",
     "dich": "dɪç",
 }
@@ -466,7 +468,10 @@ _DE_RULES = [
     Rule("uh", "uː"), Rule("ih", "iː"), Rule("äh", "ɛː"), Rule("öh", "øː"),
     Rule("üh", "yː"),
     Rule("ig", "ɪç", post="$"),  # -ig suffix (zwanzig, König)
-    Rule("er", "ɐ", post="$"),   # vocalized -er (Wasser, Vater)
+    Rule("ng", "ŋ", post="$"),   # final -ng stays ŋ (lang, jung)
+    # vocalized unstressed -er (Wasser, Vater); stressed monosyllables
+    # (wer, schwer) are lexicon entries
+    Rule("er", "ɐ", post="$", pre=".*[aeiouäöüy].*"),
     Rule("e", "ə", post="[lnr]?$"),  # unstressed final syllable schwa
     # open-syllable vowel length (gut -> ɡuːt, Name -> naːmə, rot -> ʁoːt);
     # closed syllables / doubled consonants stay short (und, Mutter)
@@ -766,6 +771,7 @@ _FR_LEXICON = {
     # monosyllabic -er words keep ɛʁ (the -er -> e rule is for verbs)
     "mer": "mɛʁ", "fer": "fɛʁ", "cher": "ʃɛʁ", "hier": "jɛʁ",
     "amer": "amɛʁ", "hiver": "ivɛʁ",
+    "question": "kɛstjɔ̃", "questions": "kɛstjɔ̃", "pays": "pei",
 }
 
 # elided clitics before an apostrophe (c'est, j'ai, qu'il ...)
@@ -790,7 +796,9 @@ _FR_RULES = [
     Rule("on", "ɔ̃", post="[^aeiounmhéèêy]|$"), Rule("om", "ɔ̃", post="[pb]"),
     Rule("un", "œ̃", post="[^aeiounmhéèêy]|$"), Rule("um", "œ̃", post="[pb]"),
     Rule("eau", "o"), Rule("au", "o"), Rule("ou", "u"), Rule("oi", "wa"),
+    Rule("ui", "ɥi"),  # nuit, suis, lui (qu-/ou- handled earlier)
     Rule("ai", "ɛ"), Rule("ei", "ɛ"), Rule("eu", "ø"),
+    Rule("o", "o", post="s[eé]"),  # chose, rose: closed o before /z/
     Rule("ch", "ʃ"), Rule("ph", "f"), Rule("th", "t"), Rule("qu", "k"),
     Rule("gu", "ɡ", post="[eèéêi]"),
     Rule("c", "s", post="[eèéêiy]"), Rule("ç", "s"), Rule("c", "k"),
