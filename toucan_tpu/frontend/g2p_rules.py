@@ -211,12 +211,12 @@ _ES_DIGITS = ["cero", "uno", "dos", "tres", "cuatro", "cinco", "seis",
 # ---------------------------------------------------------------------------
 
 _IT_RULES = [
-    Rule("sci", "ʃ", post="[aou]"), Rule("sce", "ʃe"), Rule("sci", "ʃi"),
+    Rule("sci", "ʃ", post="[aouàòù]"), Rule("sce", "ʃe"), Rule("sci", "ʃi"),
     Rule("sch", "sk"),
     Rule("gli", "ʎ", post="[aeou]"), Rule("gli", "ʎi"), Rule("gn", "ɲ"),
     Rule("chi", "ki"), Rule("che", "ke"), Rule("ch", "k"),
     Rule("ghi", "ɡi"), Rule("ghe", "ɡe"), Rule("gh", "ɡ"),
-    Rule("ci", "tʃ", post="[aou]"), Rule("gi", "dʒ", post="[aou]"),
+    Rule("ci", "tʃ", post="[aouàòù]"), Rule("gi", "dʒ", post="[aouàòù]"),
     Rule("c", "tʃ", post="[eèéi]"), Rule("c", "k"),
     Rule("g", "dʒ", post="[eèéi]"), Rule("g", "ɡ"),
     Rule("sb", "zb"), Rule("sd", "zd"), Rule("sg", "zɡ"), Rule("sl", "zl"),
@@ -231,7 +231,7 @@ _IT_RULES = [
     Rule("w", "w"), Rule("j", "j"), Rule("x", "ks"),
     Rule("uo", "wɔ"),  # buono, scuola, uomo
     # unstressed i glides before vowels after a consonant (piano, grazie)
-    Rule("i", "j", pre="[bcdfglmnprstvz]", post="[aeou]"),
+    Rule("i", "j", pre="[bcdfglmnprstvz]", post="[aeouàèéòù]"),
     Rule("a", "a"), Rule("e", "e"), Rule("i", "i"), Rule("o", "o"),
     Rule("u", "u"), Rule("y", "i"),
     Rule("à", "ˈa"), Rule("è", "ˈɛ"), Rule("é", "ˈe"), Rule("ì", "ˈi"),
@@ -255,6 +255,7 @@ _IT_LEXICON = {
     "occhi": "ˈɔkki", "petto": "pˈɛtto", "erba": "ˈɛrba",
     "tempo": "tˈɛmpo", "gente": "dʒˈɛnte", "niente": "njˈɛnte",
     "bene": "bˈɛne", "male": "mˈale", "cuore": "kwˈɔre",
+    "essere": "ˈɛssere", "ecco": "ˈɛkko", "è": "ˈɛ",
 }
 
 # ---------------------------------------------------------------------------
@@ -403,12 +404,15 @@ _NL_RULES = [
     Rule("au", "ʌu"), Rule("oe", "u"), Rule("eu", "ø"), Rule("ie", "i"),
     Rule("aa", "aː"), Rule("ee", "eː"), Rule("oo", "oː"), Rule("uu", "y"),
     Rule("ng", "ŋ"), Rule("nk", "ŋk"), Rule("ch", "x"),
-    Rule("e", "ə", post="[lnr]?$"),
+    # unstressed-syllable schwa (the prefix must already contain a vowel:
+    # stressed monosyllables like "ben"/"wel" keep ɛ)
+    Rule("e", "ə", post="[lnr]?$", pre=".*[aeiou].*"),
+    Rule("u", "y", post="$"),  # nu, u
     # open-syllable lengthening: single vowel + single consonant + vowel
-    # (water -> ʋaːtər, leven -> leːvən)
-    Rule("a", "aː", post="[bdfgklmnprstv][aeiou]"),
-    Rule("e", "eː", post="[bdfgklmnprstv][aeiou]"),
-    Rule("o", "oː", post="[bdfgklmnprstv][aeiou]"),
+    # (water -> ʋaːtər, leven -> leːvən, deze -> deːzə)
+    Rule("a", "aː", post="[bdfgklmnprstvz][aeiou]"),
+    Rule("e", "eː", post="[bdfgklmnprstvz][aeiou]"),
+    Rule("o", "oː", post="[bdfgklmnprstvz][aeiou]"),
     Rule("a", "ɑ"), Rule("e", "ɛ"),
     Rule("i", "ɪ"), Rule("o", "ɔ"), Rule("u", "ʏ"), Rule("y", "i"),
     Rule("b", "b"), Rule("c", "s", post="[ei]"), Rule("c", "k"),
@@ -472,7 +476,7 @@ _DE_RULES = [
     # vocalized unstressed -er (Wasser, Vater); stressed monosyllables
     # (wer, schwer) are lexicon entries
     Rule("er", "ɐ", post="$", pre=".*[aeiouäöüy].*"),
-    Rule("e", "ə", post="[lnr]?$"),  # unstressed final syllable schwa
+    Rule("e", "ə", post="[lnr]?$", pre=".*[aeiouäöüy].*"),  # unstressed final-syllable schwa (not in monosyllables)
     # open-syllable vowel length (gut -> ɡuːt, Name -> naːmə, rot -> ʁoːt);
     # closed syllables / doubled consonants stay short (und, Mutter)
     Rule("a", "aː", post=_DE_LONG_POST), Rule("a", "aː", post="$"),
@@ -1196,10 +1200,14 @@ def phonemize_rules(text: str, lang: str) -> str:
         if m.group(0) in lexicon:
             return spec.stress(m.group(0), lexicon[m.group(0)])
         # apostrophes delimit clitics (French c'est = c' + est) and block
-        # palatalization in Ukrainian (п'ять); hyphens delimit compound
-        # members (quatre-vingt-dix-neuf): each part phonemizes with its
-        # own word-boundary contexts and lexicon lookup
+        # palatalization in Ukrainian (п'ять); in Italian/other languages
+        # they mark elision and the pieces fuse into one phonological word
+        # (c'è -> cè -> tʃɛ).  Hyphens always delimit compound members
+        # (quatre-vingt-dix-neuf); each part phonemizes with its own
+        # word-boundary contexts and lexicon lookup
         word = m.group(0).replace("’", "'")
+        if lang not in ("fr", "uk"):
+            word = word.replace("'", "")
         parts = [p for p in re.split(r"['-]", word) if p]
         ipa = ""
         for pi, p in enumerate(parts):
