@@ -305,15 +305,15 @@ _EL_RULES = [
     Rule("λει", "ʎ", post="[άαοό]"), Rule("λι", "ʎ", post="[άαοόυύωώ]"),
     Rule("νι", "ɲ", post="[άαοόυύωώ]"), Rule("γι", "ʝ", post="[άαοόυύωώ]"),
     # γ: j before front vowels, ɣ otherwise
-    Rule("γ", "ʝ", post="[ειηυίέήύ]"), Rule("γ", "ɣ"),
-    Rule("χ", "ç", post="[ειηυίέήύ]"), Rule("χ", "x"),
+    Rule("γ", "ʝ", post="[ειηυίέήύ]|αι|αί|οι|οί"), Rule("γ", "ɣ"),
+    Rule("χ", "ç", post="[ειηυίέήύ]|αι|αί|οι|οί"), Rule("χ", "x"),
     Rule("α", "a"), Rule("ά", "ˈa"), Rule("ε", "e"), Rule("έ", "ˈe"),
     Rule("η", "i"), Rule("ή", "ˈi"), Rule("ι", "i"), Rule("ί", "ˈi"),
     Rule("ϊ", "i"), Rule("ΐ", "ˈi"), Rule("ο", "o"), Rule("ό", "ˈo"),
     Rule("υ", "i"), Rule("ύ", "ˈi"), Rule("ϋ", "i"), Rule("ΰ", "ˈi"),
     Rule("ω", "o"), Rule("ώ", "ˈo"),
     Rule("β", "v"), Rule("δ", "ð"), Rule("ζ", "z"), Rule("θ", "θ"),
-    Rule("κ", "c", post="[ειηυίέήύ]"), Rule("κ", "k"),
+    Rule("κ", "c", post="[ειηυίέήύ]|αι|αί|οι|οί"), Rule("κ", "k"),
     Rule("λ", "l"), Rule("μ", "m"), Rule("ν", "n"), Rule("ξ", "ks"),
     Rule("π", "p"), Rule("ρ", "ɾ"), Rule("σ", "s"), Rule("ς", "s"),
     Rule("τ", "t"), Rule("φ", "f"), Rule("ψ", "ps"),
@@ -553,6 +553,11 @@ _RU_STRESS = {
     "шестьсот": 1, "семьсот": 1, "восемьсот": 2, "девятьсот": 2,
     "тысяча": 0, "тысячи": 0, "тысяч": 0, "одна": 1,
     "запятая": 2, "процентов": 1, "долларов": 0, "градусов": 0,
+    "меня": 1, "тебя": 1, "себя": 1, "она": 1, "они": 1, "оно": 1,
+    "было": 0, "уже": 1, "или": 0, "когда": 1, "даже": 0, "тоже": 0,
+    "опять": 1, "эти": 0, "если": 0, "только": 0, "чего": 1,
+    "кого": 1, "того": 1, "всего": 1, "никого": 2, "его": 1,
+    "него": 1, "много": 0, "очень": 0, "ещё": 1,
 }
 
 # unstressed function words (clitics): never auto-stress the monosyllable
@@ -628,6 +633,8 @@ _UK_STRESS = {
     "шістсот": 1, "сімсот": 1, "вісімсот": 2, "девятсот": 2,
     "тисяча": 0, "тисячі": 0, "тисяч": 0, "одна": 1, "дві": 0,
     "кома": 0, "відсотків": 1, "доларів": 0, "градусів": 0,
+    "мене": 1, "тебе": 1, "себе": 1, "вона": 1, "вони": 1, "воно": 1,
+    "тільки": 0, "коли": 1, "якщо": 1, "його": 1, "її": 1,
 }
 
 _UK_CLITICS = {"в", "у", "і", "й", "з", "із", "зі", "на", "за", "по", "до",
@@ -650,18 +657,27 @@ def stress_ukrainian(word: str, ipa: str) -> str:
 
 _RU_SOFT = "еёюяьи"
 
+# words whose pronunciation breaks letter-to-sound: что = ʃto, the
+# genitive -ого/-его endings = v (его, сегодня), чн = ʃn in конечно
+_RU_LEXICON = {
+    "что": "ʃto", "чтобы": "ʃtobɨ", "что-то": "ʃtoto",
+    "его": "jevo", "него": "nevo", "чего": "tɕevo", "кого": "kovo",
+    "того": "tovo", "всего": "vsevo", "ничего": "nitɕevo",
+    "никого": "nikovo", "сегодня": "sevodna",
+    "конечно": "koneʃno", "скучно": "skuʃno",
+}
+
 _RU_RULES = [
     # iotated vowels: j+V word-initially / after vowels and signs, else
     # they mark palatalization of the preceding consonant (approximated by
     # plain consonant + vowel; ʲ is stripped by the reference replacements)
     Rule("е", "je", pre="^|[аеёиоуыэюяъь]"), Rule("е", "e"),
-    Rule("ё", "jo", pre="^|[аеёиоуыэюяъь]"), Rule("ё", "o"),
+    Rule("ё", "jˈo", pre="^|[аеёиоуыэюяъь]"), Rule("ё", "ˈo"),
     Rule("ю", "ju", pre="^|[аеёиоуыэюяъь]"), Rule("ю", "u"),
     Rule("я", "ja", pre="^|[аеёиоуыэюяъь]"), Rule("я", "a"),
     Rule("а", "a"), Rule("и", "i"), Rule("о", "o"), Rule("у", "u"),
     Rule("ы", "ɨ"), Rule("э", "e"),
-    Rule("б", "b"), Rule("в", "v"), Rule("г", "v", pre="о", post="о$"),
-    Rule("г", "ɡ"), Rule("д", "d"), Rule("ж", "ʒ"), Rule("з", "z"),
+    Rule("б", "b"), Rule("в", "v"), Rule("г", "ɡ"), Rule("д", "d"), Rule("ж", "ʒ"), Rule("з", "z"),
     Rule("й", "j"), Rule("к", "k"), Rule("л", "l"), Rule("м", "m"),
     Rule("н", "n"), Rule("п", "p"), Rule("р", "r"), Rule("с", "s"),
     Rule("т", "t"), Rule("ф", "f"), Rule("х", "x"), Rule("ц", "ts"),
@@ -1115,7 +1131,7 @@ def _language(lang: str) -> Language:
         "pl": (_PL_RULES, stress_penult, _PL_DIGITS, {}),
         "nl": (_NL_RULES, stress_initial, _NL_DIGITS, {}),
         "de": (_DE_RULES, stress_initial, _DE_DIGITS, _DE_LEXICON),
-        "ru": (_RU_RULES, stress_russian, _RU_DIGITS, {}),
+        "ru": (_RU_RULES, stress_russian, _RU_DIGITS, _RU_LEXICON),
         "uk": (_UK_RULES, stress_ukrainian, _UK_DIGITS, {}),
         "pt": (_PT_RULES, stress_portuguese, _PT_DIGITS, _PT_LEXICON),
         "pt-br": (_PT_RULES, stress_portuguese, _PT_DIGITS, _PT_LEXICON),
