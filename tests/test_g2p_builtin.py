@@ -122,3 +122,55 @@ def test_stub_leak_regression_mandarin_after_reference_import():
     assert "这" not in phones  # stub would echo the hanzi through
     feats = tf.string_to_features("这 是")
     assert feats.shape[0] > 2
+
+
+def test_english_normalization_ordinals_times_acronyms():
+    """espeak-style text normalization the reference gets for free through
+    espeak (``Preprocessing/TextFrontend.py:298``): digit ordinals, clock
+    times, all-caps acronyms, dotted abbreviations, decades."""
+    tf = TextFrontend(language="en")
+    cases = {
+        "3rd": "θɜɹd",                       # not "three-rd" mashed
+        "21st": "twɛnti fɜɹst",
+        "the 5th": "fɪfθ",
+        "3:30 pm": "θɹi θɜɹti pi ɛm",
+        "9:05": "naɪn oʊ faɪv",
+        "12:00": "twɛlv əklɑk",
+        "TV": "ti vi",                        # all-caps -> letter names
+        "USA": "ju ɛs eɪ",
+        "NASA": "næsə",                       # known pronounceable acronym
+        "e.g.": "i dʒi",                      # dotted abbreviation
+        "etc.": "ɛt sɛtəɹə",
+        "Mrs. Jones": "mɪsɪz",               # was "maɪzs" (magic-e misfire)
+        "No. 7": "nʌmbəɹ sɛvən",
+        "the 1980s": "naɪntin eɪtiz",
+    }
+    for text, expect in cases.items():
+        got = tf.get_phone_string(text)
+        assert expect in got, f"{text!r}: {got!r} missing {expect!r}"
+
+
+def test_english_number_words_ipa():
+    """The number words the letter-to-sound rules used to mangle now carry
+    dictionary IPA (nineteen/ninety/minus/hundred/thousand/million)."""
+    from toucan_tpu.frontend.g2p_en import _word_to_ipa
+
+    gold = {
+        "nineteen": "nˈaɪntin", "ninety": "nˈaɪnti", "ninth": "nˈaɪnθ",
+        "seven": "sˈɛvən", "eleven": "ɪlˈɛvən", "minus": "mˈaɪnəs",
+        "hundred": "hˈʌndɹəd", "thousand": "θˈaʊzənd",
+        "million": "mˈɪljən", "billion": "bˈɪljən",
+    }
+    for word, ipa in gold.items():
+        assert _word_to_ipa(word) == ipa, word
+
+
+def test_english_ordinal_words():
+    from toucan_tpu.frontend.g2p_en import number_to_ordinal_words
+
+    assert number_to_ordinal_words(1) == "first"
+    assert number_to_ordinal_words(12) == "twelfth"
+    assert number_to_ordinal_words(21) == "twenty first"
+    assert number_to_ordinal_words(30) == "thirtieth"
+    assert number_to_ordinal_words(100) == "one hundredth"
+    assert number_to_ordinal_words(1000) == "one thousandth"

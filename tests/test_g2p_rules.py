@@ -320,7 +320,7 @@ def test_decimals_and_thousand_grouping():
     from toucan_tpu.frontend.g2p_en import phonemize_english
 
     en = phonemize_english("3.14 and 1,000")
-    assert "pˈɔɪnt" in en and "θˈaʊzænd" in en
+    assert "pˈɔɪnt" in en and "θˈaʊzənd" in en
     es = phonemize_rules("3,14", "es")
     assert "kˈoma" in es and "tɾˈes" in es
     de = phonemize_rules("3,14", "de")

@@ -112,7 +112,47 @@ _EXCEPTIONS = {
     "that": "ðæt", "haven't": "hˈævənt", "over": "ˈoʊvəɹ",
     "watch": "wˈɑtʃ", "goes": "ɡoʊz", "yes": "jˈɛs", "oh": "ˈoʊ",
     "being": "bˈiɪŋ", "really": "ɹˈɪli",
+    # number words the letter-to-sound rules get wrong
+    "zero": "zˈɪɹoʊ", "seven": "sˈɛvən", "seventy": "sˈɛvənti",
+    "seventeen": "sˈɛvəntin", "seventh": "sˈɛvənθ",
+    "seventeenth": "sˈɛvəntinθ", "seventieth": "sˈɛvəntiθ",
+    "eleven": "ɪlˈɛvən", "eleventh": "ɪlˈɛvənθ",
+    "nineteen": "nˈaɪntin", "nineteenth": "nˈaɪntinθ",
+    "ninety": "nˈaɪnti", "ninetieth": "nˈaɪntiθ", "ninth": "nˈaɪnθ",
+    "minus": "mˈaɪnəs", "hundred": "hˈʌndɹəd", "hundredth": "hˈʌndɹədθ",
+    "thousand": "θˈaʊzənd", "thousandth": "θˈaʊzəndθ",
+    "million": "mˈɪljən", "millionth": "mˈɪljənθ", "billion": "bˈɪljən",
+    "eighth": "ˈeɪtθ",
+    # normalization helpers (clock times, spelled acronyms, abbreviations)
+    "o'clock": "əklˈɑk", "misess": "mˈɪsɪz", "versus": "vˈɜɹsəs",
+    "cetera": "sˈɛtəɹə", "nasa": "nˈæsə",
+    "ay": "ˈeɪ", "cee": "sˈi", "dee": "dˈi", "ee": "ˈi", "ef": "ˈɛf",
+    "gee": "dʒˈi", "aitch": "ˈeɪtʃ", "jay": "dʒˈeɪ", "kay": "kˈeɪ",
+    "el": "ˈɛl", "em": "ˈɛm", "en": "ˈɛn", "owe": "ˈoʊ", "pee": "pˈi",
+    "cue": "kjˈu", "ar": "ˈɑɹ", "ess": "ˈɛs", "tee": "tˈi", "vee": "vˈi",
+    "doubleyou": "dˈʌbəlju", "ex": "ˈɛks", "zee": "zˈi", "bee": "bˈi",
+    "eye": "ˈaɪ",
 }
+
+# Letter names as pseudo-words every one of which is in _EXCEPTIONS (or an
+# already-correct lexicon word), so spelled-out acronyms ("TV", "e.g.",
+# "3 pm") read letter by letter like espeak does.
+_LETTER_WORDS = {
+    "a": "ay", "b": "bee", "c": "cee", "d": "dee", "e": "ee", "f": "ef",
+    "g": "gee", "h": "aitch", "i": "eye", "j": "jay", "k": "kay", "l": "el",
+    "m": "em", "n": "en", "o": "owe", "p": "pee", "q": "cue", "r": "ar",
+    "s": "ess", "t": "tee", "u": "you", "v": "vee", "w": "doubleyou",
+    "x": "ex", "y": "why", "z": "zee",
+}
+
+# All-caps tokens that read as ordinary words, not letter sequences.
+_PRONOUNCED_ACRONYMS = {"nasa", "nato", "laser", "radar", "covid", "unesco",
+                        "unicef", "opec", "fifa", "lego"}
+
+
+def spell_out(word: str) -> str:
+    """Acronym -> space-separated letter-name pseudo-words ("tv" -> "tee vee")."""
+    return " ".join(_LETTER_WORDS[c] for c in word.lower() if c in _LETTER_WORDS)
 
 # ------------------------------------------------------------------ rules
 
@@ -328,6 +368,72 @@ def number_to_words(n: int) -> str:
     return str(n)
 
 
+_ORDINAL_IRREGULAR = {"one": "first", "two": "second", "three": "third",
+                      "five": "fifth", "eight": "eighth", "nine": "ninth",
+                      "twelve": "twelfth"}
+
+
+def number_to_ordinal_words(n: int) -> str:
+    """Integer -> English ordinal words ("21" -> "twenty first")."""
+    words = number_to_words(n).split(" ")
+    last = words[-1]
+    if last in _ORDINAL_IRREGULAR:
+        words[-1] = _ORDINAL_IRREGULAR[last]
+    elif last.endswith("y"):
+        words[-1] = last[:-1] + "ieth"
+    else:
+        words[-1] = last + "th"
+    return " ".join(words)
+
+
+def _read_time(m: "re.Match") -> str:
+    """Clock times: 3:30 -> "three thirty", 9:05 am -> "nine oh five ay em"."""
+    h, mnt, ampm = int(m.group(1)), int(m.group(2)), m.group(3)
+    if h > 23 or mnt > 59:
+        return m.group(0)
+    out = number_to_words(h)
+    if mnt == 0:
+        if not ampm:
+            out += " o'clock"
+    elif mnt < 10:
+        out += " owe " + number_to_words(mnt)
+    else:
+        out += " " + number_to_words(mnt)
+    if ampm:
+        out += " " + spell_out(ampm[0] + "m")
+    return out
+
+
+_TIME = re.compile(
+    r"\b(\d{1,2}):(\d{2})(?:\s*([aApP])\.?[mM]\.?(?=[\W]|$))?(?!\d)")
+_HOUR_AMPM = re.compile(r"\b(\d{1,2})\s*([aApP])\.?[mM]\.?(?=\W|$)")
+_DOTTED_ABBREV = re.compile(r"\b(?:[A-Za-z]\.){2,}")
+_ORDINAL = re.compile(r"\b(\d+)(?:st|nd|rd|th)\b")
+
+
+def _normalize_english(text: str) -> str:
+    """espeak-style readings for times, ordinals, dotted abbreviations and
+    "No. 5" (the reference delegates all of this to espeak,
+    ``Preprocessing/TextFrontend.py:298``)."""
+    text = _TIME.sub(_read_time, text)
+    text = _HOUR_AMPM.sub(
+        lambda m: number_to_words(int(m.group(1))) + " "
+        + spell_out(m.group(2) + "m"),
+        text)
+    text = _DOTTED_ABBREV.sub(
+        lambda m: spell_out(re.sub(r"\.", "", m.group(0))), text)
+    text = _ORDINAL.sub(lambda m: number_to_ordinal_words(int(m.group(1))),
+                        text)
+    text = re.sub(r"\bNo\.\s*(?=\d)", "number ", text)
+    # decades: "the 1980s" -> "nineteen eighties", "the 80s" -> "eighties"
+    text = re.sub(
+        r"\b(?:([12]\d)|)([2-9]0)s\b",
+        lambda m: ((number_to_words(int(m.group(1))) + " ") if m.group(1)
+                   else "") + _TENS[int(m.group(2)) // 10][:-1] + "ies",
+        text)
+    return text
+
+
 def _spell_out_numbers(text: str) -> str:
     # English conventions: "," groups thousands (1,000 -> 1000);
     # "." reads as "point" with the fraction digit by digit
@@ -418,6 +524,22 @@ def _word_to_ipa(word: str) -> str:
 
 _TOKEN = re.compile(r"[a-zA-Z']+|[^\sa-zA-Z']")
 
+_VOWEL_LETTERS = set("aeiouy")
+
+
+def _is_spelled_acronym(tok: str) -> bool:
+    """All-caps tokens read letter by letter (espeak behavior): always when
+    they contain no vowel letter ("TV", "BBC"), and for short ones ("USA",
+    "UK") unless they are known pronounceable acronyms ("NASA")."""
+    if len(tok) < 2 or not tok.isupper() or not tok.isalpha():
+        return False
+    low = tok.lower()
+    if low in _PRONOUNCED_ACRONYMS:
+        return False
+    if not any(c in _VOWEL_LETTERS for c in low):
+        return True
+    return len(tok) <= 3 and low not in _EXCEPTIONS
+
 
 def phonemize_english(text: str) -> str:
     """Plain English text -> IPA string (words space-separated, punctuation
@@ -425,11 +547,16 @@ def phonemize_english(text: str) -> str:
     from toucan_tpu.frontend.symbols import expand_symbols
 
     text = expand_symbols(text, "en")
+    text = _normalize_english(text)
     text = _spell_out_numbers(text)
     pieces = []
     for tok in _TOKEN.findall(text):
         if tok[0].isalpha() or tok[0] == "'":
-            pieces.append(_word_to_ipa(tok))
+            if _is_spelled_acronym(tok):
+                pieces.append(" ".join(_word_to_ipa(w)
+                                       for w in spell_out(tok).split(" ")))
+            else:
+                pieces.append(_word_to_ipa(tok))
         else:
             # punctuation attaches to the previous word like espeak's output
             if pieces:

@@ -122,7 +122,9 @@ def english_text_expansion(text: str) -> str:
              ("Maj.", "major"), ("Gen.", "general"), ("Drs.", "doctors"),
              ("Rev.", "reverend"), ("Lt.", "lieutenant"), ("Hon.", "honorable"),
              ("Sgt.", "sergeant"), ("Capt.", "captain"), ("Esq.", "esquire"),
-             ("Ltd.", "limited"), ("Col.", "colonel"), ("Ft.", "fort")]
+             ("Ltd.", "limited"), ("Col.", "colonel"), ("Ft.", "fort"),
+             ("etc.", "et cetera"), ("vs.", "versus"), ("Prof.", "professor"),
+             ("Ms.", "miz")]
     for abbrev, expansion in pairs:
         text = re.sub(r"\b%s\." % abbrev[:-1], expansion, text, flags=re.IGNORECASE)
     return text
