@@ -325,3 +325,54 @@ def test_decimals_and_thousand_grouping():
     assert "kˈoma" in es and "tɾˈes" in es
     de = phonemize_rules("3,14", "de")
     assert "kˈɔma" in de
+
+
+def test_ordinal_markers_read_as_ordinal_words():
+    """Written ordinal markers read as true ordinal words like espeak
+    ("3º" -> tercero, "1er" -> premier, "der 3. Mai" -> dritte,
+    "3-й" -> третий with stress/akanye, "3ος" -> τρίτος)."""
+    cases = [
+        ("es", "el 3º piso", "teɾθˈeɾo"), ("es", "1ª vez", "pɾimˈeɾa"),
+        ("it", "il 3º posto", "tˈertso"), ("pt", "o 3º andar", "teɾsˈejɾu"),
+        ("fr", "le 1er mai", "pʁəmjˈe"), ("fr", "la 1re place", "pʁəmjˈɛʁ"),
+        ("fr", "la 3e fois", "tʁwazjˈɛm"), ("fr", "le 10e jour", "dizjˈɛm"),
+        ("nl", "de 3e keer", "dˈɛrdə"), ("nl", "de 21ste eeuw", "ˈeːnɛntʋɪntɪɣstə"),
+        ("de", "der 3. Mai", "dʁˈɪtə"), ("de", "die 2te Runde", "tsvˈaɪtə"),
+        ("ru", "3-й день", "trˈetij"), ("ru", "2-я улица", "vtɐrˈajɐ"),
+        ("ru", "1-го мая", "pˈervɐvɐ"),     # genitive -ого reads with /v/
+        ("uk", "1-го травня", "pˈɛrʃɔɦɔ"),
+        ("uk", "3-й день", "trˈɛtij"),
+        ("el", "ο 3ος όροφος", "tɾˈitos"), ("el", "η 2η φορά", "ðˈefteɾi"),
+    ]
+    for lang, text, expect in cases:
+        got = phonemize_rules(text, lang)
+        assert expect in got, f"{lang} {text!r}: {got!r} missing {expect!r}"
+    # guards: bare cardinals and sentence-final dots stay cardinal
+    assert "dʁˈaɪ" in phonemize_rules("ich zähle bis 3. dann los", "de")
+    assert "tɾˈes" in phonemize_rules("son las 3", "es")
+    assert "trˈi" in phonemize_rules("3 дня", "ru")
+
+
+def test_number_to_ordinal_grammar():
+    from toucan_tpu.frontend.numbers import number_to_ordinal
+
+    assert number_to_ordinal(21, "es") == "vigésimo primero"
+    assert number_to_ordinal(18, "es") == "decimoctavo"
+    assert number_to_ordinal(23, "it") == "ventitreesimo"
+    assert number_to_ordinal(26, "it") == "ventiseiesimo"
+    assert number_to_ordinal(21, "fr") == "vingt et unième"
+    assert number_to_ordinal(9, "fr") == "neuvième"
+    assert number_to_ordinal(5, "fr") == "cinquième"
+    assert number_to_ordinal(21, "nl") == "eenentwintigste"
+    assert number_to_ordinal(12, "nl") == "twaalfde"
+    assert number_to_ordinal(21, "de") == "einundzwanzigste"
+    assert number_to_ordinal(7, "de") == "siebte"
+    assert number_to_ordinal(8, "de") == "achte"
+    assert number_to_ordinal(21, "ru") == "двадцать первый"
+    assert number_to_ordinal(3, "ru", "f") == "третья"
+    assert number_to_ordinal(40, "ru") == "сороковой"
+    assert number_to_ordinal(25, "uk") == "двадцять п'ятий"
+    assert number_to_ordinal(25, "el") == "εικοστός πέμπτος"
+    assert number_to_ordinal(14, "el") == "δέκατος τέταρτος"
+    assert number_to_ordinal(20, "el", "f") == "εικοστή"
+    assert number_to_ordinal(15, "pt") == "décimo quinto"

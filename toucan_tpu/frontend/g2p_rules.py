@@ -637,6 +637,51 @@ _UK_STRESS = {
     "тільки": 0, "коли": 1, "якщо": 1, "його": 1, "її": 1,
 }
 
+# ordinal adjectives (frontend/numbers.py::number_to_ordinal output) —
+# every gender/genitive variant keeps the masculine's stressed-run index
+# (the ending swap never moves an earlier vowel)
+_RU_ORDINAL_STRESS = {
+    "первый": 0, "второй": 1, "третий": 0, "пятый": 0, "шестой": 1,
+    "седьмой": 1, "восьмой": 1, "девятый": 1, "десятый": 1,
+    "одиннадцатый": 1, "двенадцатый": 1, "тринадцатый": 1,
+    "четырнадцатый": 1, "пятнадцатый": 1, "шестнадцатый": 1,
+    "семнадцатый": 1, "восемнадцатый": 2, "девятнадцатый": 2,
+    "двадцатый": 1, "тридцатый": 1, "сороковой": 3, "пятидесятый": 3,
+    "шестидесятый": 3, "семидесятый": 3, "восьмидесятый": 3,
+    "девяностый": 2, "сотый": 0,
+}
+_UK_ORDINAL_STRESS = {
+    "перший": 0, "другий": 0, "третій": 0, "четвертий": 1, "пятий": 0,
+    "шостий": 0, "сьомий": 0, "восьмий": 0, "девятий": 1, "десятий": 1,
+    "одинадцятий": 2, "дванадцятий": 1, "тринадцятий": 1,
+    "чотирнадцятий": 2, "пятнадцятий": 1, "шістнадцятий": 1,
+    "сімнадцятий": 1, "вісімнадцятий": 2, "девятнадцятий": 2,
+    "двадцятий": 1, "тридцятий": 1, "сороковий": 3, "пятдесятий": 2,
+    "шістдесятий": 2, "сімдесятий": 2, "вісімдесятий": 3,
+    "девяностий": 2, "сотий": 0,
+}
+
+
+def _register_ordinal_stress():
+    from toucan_tpu.frontend.numbers import _ru_gender, _ru_uk_gender
+
+    for word, idx in _RU_ORDINAL_STRESS.items():
+        _RU_STRESS.setdefault(word, idx)
+        for g in ("f", "n", "g"):
+            form = _ru_gender(word, g)
+            _RU_STRESS.setdefault(form, idx)
+            if g == "g":  # the /v/ respelling used by _expand_ordinals
+                _RU_STRESS.setdefault(form[:-2] + "во", idx)
+    for word, idx in _UK_ORDINAL_STRESS.items():
+        # uk stress keys are apostrophe-stripped (see the numerals note)
+        _UK_STRESS.setdefault(word.replace("'", ""), idx)
+        for g in ("f", "n", "g"):
+            form = _ru_uk_gender(word, g).replace("'", "")
+            _UK_STRESS.setdefault(form, idx)
+
+
+_register_ordinal_stress()
+
 _UK_CLITICS = {"в", "у", "і", "й", "з", "із", "зі", "на", "за", "по", "до",
                "від", "під", "над", "при", "про", "без", "не", "ні", "а",
                "та", "же", "ж", "чи", "би", "б", "то"}
@@ -782,6 +827,8 @@ _PT_LEXICON = {
 
 # high-frequency function words whose spelling breaks the rules
 _FR_LEXICON = {
+    "premier": "pʁəmje", "première": "pʁəmjɛʁ",
+    "sixième": "sizjɛm", "dixième": "dizjɛm",  # ordinal x = /z/
     "est": "ɛ", "et": "e", "les": "le", "des": "de", "mes": "me",
     "tes": "te", "ses": "se", "ces": "se", "est-ce": "ɛs", "monsieur": "məsjø",
     "eu": "y", "eux": "ø", "deux": "dø", "dix": "dis", "six": "sis",
@@ -804,6 +851,7 @@ _FR_RULES = [
     Rule("nn", "n"), Rule("rr", "ʁ"), Rule("pp", "p"), Rule("cc", "ks",
     post="[ei]"), Rule("cc", "k"), Rule("ff", "f"), Rule("dd", "d"),
     Rule("oeu", "œ"), Rule("œu", "œ"), Rule("œ", "œ"),
+    Rule("ième", "jɛm"),  # ordinal suffix: troisième, dixième
     Rule("tion", "sjɔ̃"), Rule("ille", "ij"), Rule("eil", "ɛj"),
     Rule("ail", "aj"), Rule("gn", "ɲ"),
     Rule("ain", "ɛ̃", post="[^aeiouéèêy]|$"), Rule("aim", "ɛ̃", post="[^aeiouéèêy]|$"),
@@ -1154,6 +1202,57 @@ _PRECOMPOSED = str.maketrans({
 })
 
 
+# written ordinal markers per language: list of (regex, gender) tried in
+# order; group 1 is the number (espeak reads these as true ordinal words,
+# e.g. "3º" -> "tercero", "1er" -> "premier", "der 3. Mai" -> "dritte",
+# "3-й" -> "третий", "3ος" -> "τρίτος")
+_ORDINAL_MARKERS = {
+    "es": [(r"(\d+)\.?\s?ª", "f"), (r"(\d+)\.?\s?º", "m")],
+    "fr": [(r"(\d+)\s?(?:ères?|res?)\b", "f"),
+           (r"(\d+)\s?(?:ers?|èmes?|emes?|es?)\b", "m")],
+    "nl": [(r"(\d+)\s?(?:ste|de|e)\b", "m")],
+    "de": [(r"(\d+)\s?te[nrms]?\b", "m"),
+           (r"(\d+)\.(?=\s+[A-ZÄÖÜ])", "m")],
+    "ru": [(r"(\d+)-?го\b", "g"), (r"(\d+)-?(?:ая|я)\b", "f"),
+           (r"(\d+)-?(?:ое|е)\b", "n"), (r"(\d+)-?(?:ый|ой|й)\b", "m")],
+    "uk": [(r"(\d+)-?го\b", "g"), (r"(\d+)-?(?:ша|а)\b", "f"),
+           (r"(\d+)-?(?:ше|е)\b", "n"), (r"(\d+)-?(?:ий|й)\b", "m")],
+    "el": [(r"(\d+)(?:ης|η)\b", "f"), (r"(\d+)(?:ος|ού|ου)\b", "m"),
+           (r"(\d+)ο\b", "n")],
+}
+_ORDINAL_MARKERS["it"] = _ORDINAL_MARKERS["es"]
+_ORDINAL_MARKERS["pt"] = _ORDINAL_MARKERS["pt-br"] = _ORDINAL_MARKERS["es"]
+
+
+def _expand_ordinals(text: str, lang: str) -> str:
+    """Rewrite marked digit ordinals as ordinal words (runs BEFORE the
+    cardinal expansion and before lowercasing — German's "3." marker needs
+    the capitalized following noun as evidence)."""
+    markers = _ORDINAL_MARKERS.get(lang)
+    if not markers:
+        return text
+    from toucan_tpu.frontend.numbers import number_to_ordinal
+
+    def repl(gender):
+        def go(m):
+            try:
+                word = number_to_ordinal(int(m.group(1)), lang, gender)
+            except (KeyError, ValueError):
+                return m.group(0)
+            if lang == "ru" and gender == "g":
+                # adjective genitive -ого is pronounced with /v/; respell
+                # so the ruleset reads it right (первого -> первово)
+                word = re.sub(r"го$", "во", word)
+            return " " + word + " "
+        return go
+
+    for pattern, gender in markers:
+        # case-sensitive: the German "3." marker relies on the capitalized
+        # following noun, and marker letters are conventionally lowercase
+        text = re.sub(pattern, repl(gender), text)
+    return text
+
+
 def _expand_numbers(text: str, lang: str, digits: Sequence[str]) -> str:
     """Replace number tokens with full numerals (frontend/numbers.py,
     espeak behavior); out-of-range or unsupported -> digit-by-digit.
@@ -1210,6 +1309,7 @@ def phonemize_rules(text: str, lang: str) -> str:
     spec = _language(lang)
     lexicon = spec.lexicon
 
+    text = _expand_ordinals(text, lang)
     text = _expand_numbers(text.lower(), lang, spec.digits)
 
     def convert(m):

@@ -523,3 +523,244 @@ def number_to_words(n: int, lang: str) -> str:
     if not 0 <= n <= MAX_NUMBER:
         raise ValueError(f"number out of range: {n}")
     return _READERS[lang](n)
+
+
+# ---------------------------------------------------------------- ordinals
+
+# Written ordinal markers ("3º", "1er", "3e", "der 3.", "3-й", "3ος") read
+# as true ordinal words, like espeak.  Masculine base forms; feminine /
+# neuter / genitive variants derive via the per-language ending transforms
+# below (driven by which marker the text used).
+
+_ES_ORDINALS = {
+    1: "primero", 2: "segundo", 3: "tercero", 4: "cuarto", 5: "quinto",
+    6: "sexto", 7: "séptimo", 8: "octavo", 9: "noveno", 10: "décimo",
+    11: "undécimo", 12: "duodécimo", 18: "decimoctavo", 20: "vigésimo",
+    30: "trigésimo", 40: "cuadragésimo", 50: "quincuagésimo",
+    60: "sexagésimo", 70: "septuagésimo", 80: "octogésimo",
+    90: "nonagésimo", 100: "centésimo",
+}
+
+
+def _es_ordinal(n: int) -> str:
+    if n in _ES_ORDINALS:
+        return _ES_ORDINALS[n]
+    if 13 <= n <= 19:
+        return "decimo" + _ES_ORDINALS[n - 10]
+    if 21 <= n <= 99:
+        t, u = divmod(n, 10)
+        if u:
+            return _ES_ORDINALS[t * 10] + " " + _es_ordinal(u)
+    raise ValueError(n)
+
+
+_PT_ORDINALS = {
+    1: "primeiro", 2: "segundo", 3: "terceiro", 4: "quarto", 5: "quinto",
+    6: "sexto", 7: "sétimo", 8: "oitavo", 9: "nono", 10: "décimo",
+    20: "vigésimo", 30: "trigésimo", 40: "quadragésimo",
+    50: "quinquagésimo", 60: "sexagésimo", 70: "septuagésimo",
+    80: "octogésimo", 90: "nonagésimo", 100: "centésimo",
+}
+
+
+def _pt_ordinal(n: int) -> str:
+    if n in _PT_ORDINALS:
+        return _PT_ORDINALS[n]
+    if 11 <= n <= 99:
+        t, u = divmod(n, 10)
+        if u:
+            return _PT_ORDINALS[t * 10] + " " + _PT_ORDINALS[u]
+    raise ValueError(n)
+
+
+_IT_ORDINALS = {
+    1: "primo", 2: "secondo", 3: "terzo", 4: "quarto", 5: "quinto",
+    6: "sesto", 7: "settimo", 8: "ottavo", 9: "nono", 10: "decimo",
+}
+
+
+def _it_ordinal(n: int) -> str:
+    if n in _IT_ORDINALS:
+        return _IT_ORDINALS[n]
+    if not 11 <= n <= 100:
+        raise ValueError(n)
+    c = _it(n)
+    if c.endswith("tré"):       # ventitré -> ventitreesimo (accent drops)
+        return c[:-1] + "eesimo"
+    if c.endswith("sei"):       # ventisei -> ventiseiesimo (i kept)
+        return c + "esimo"
+    return c[:-1] + "esimo"     # venti -> ventesimo, undici -> undicesimo
+
+
+def _fr_ordinal(n: int) -> str:
+    if n == 1:
+        return "premier"
+    if not 2 <= n <= 100:
+        raise ValueError(n)
+    c = _fr(n)
+    if c.endswith("e"):         # quatre -> quatrième
+        c = c[:-1]
+    elif c.endswith("cinq"):    # cinq -> cinquième
+        c += "u"
+    elif c.endswith("neuf"):    # neuf -> neuvième
+        c = c[:-1] + "v"
+    return c + "ième"
+
+
+_NL_ORDINALS = {1: "eerste", 3: "derde", 8: "achtste"}
+
+
+def _nl_ordinal(n: int) -> str:
+    if n in _NL_ORDINALS:
+        return _NL_ORDINALS[n]
+    if not 1 <= n <= 100:
+        raise ValueError(n)
+    return _nl(n) + ("de" if n < 20 else "ste")
+
+
+_DE_ORDINALS = {1: "erste", 3: "dritte", 7: "siebte", 8: "achte"}
+
+
+def _de_ordinal(n: int) -> str:
+    if n in _DE_ORDINALS:
+        return _DE_ORDINALS[n]
+    if not 1 <= n <= 100:
+        raise ValueError(n)
+    return _de(n) + ("te" if n < 20 else "ste")
+
+
+_RU_ORDINALS = {
+    1: "первый", 2: "второй", 3: "третий", 4: "четвёртый", 5: "пятый",
+    6: "шестой", 7: "седьмой", 8: "восьмой", 9: "девятый", 10: "десятый",
+    11: "одиннадцатый", 12: "двенадцатый", 13: "тринадцатый",
+    14: "четырнадцатый", 15: "пятнадцатый", 16: "шестнадцатый",
+    17: "семнадцатый", 18: "восемнадцатый", 19: "девятнадцатый",
+    20: "двадцатый", 30: "тридцатый", 40: "сороковой", 50: "пятидесятый",
+    60: "шестидесятый", 70: "семидесятый", 80: "восьмидесятый",
+    90: "девяностый", 100: "сотый",
+}
+
+
+def _ru_ordinal(n: int) -> str:
+    if n in _RU_ORDINALS:
+        return _RU_ORDINALS[n]
+    if 21 <= n <= 99:
+        t, u = divmod(n, 10)
+        if u:
+            return _RU_TENS[t] + " " + _RU_ORDINALS[u]
+    raise ValueError(n)
+
+
+_UK_ORDINALS = {
+    1: "перший", 2: "другий", 3: "третій", 4: "четвертий", 5: "п'ятий",
+    6: "шостий", 7: "сьомий", 8: "восьмий", 9: "дев'ятий", 10: "десятий",
+    11: "одинадцятий", 12: "дванадцятий", 13: "тринадцятий",
+    14: "чотирнадцятий", 15: "п'ятнадцятий", 16: "шістнадцятий",
+    17: "сімнадцятий", 18: "вісімнадцятий", 19: "дев'ятнадцятий",
+    20: "двадцятий", 30: "тридцятий", 40: "сороковий", 50: "п'ятдесятий",
+    60: "шістдесятий", 70: "сімдесятий", 80: "вісімдесятий",
+    90: "дев'яностий", 100: "сотий",
+}
+
+
+def _uk_ordinal(n: int) -> str:
+    if n in _UK_ORDINALS:
+        return _UK_ORDINALS[n]
+    if 21 <= n <= 99:
+        t, u = divmod(n, 10)
+        if u:
+            return _UK_TENS[t] + " " + _UK_ORDINALS[u]
+    raise ValueError(n)
+
+
+_EL_ORDINALS = {
+    1: "πρώτος", 2: "δεύτερος", 3: "τρίτος", 4: "τέταρτος", 5: "πέμπτος",
+    6: "έκτος", 7: "έβδομος", 8: "όγδοος", 9: "ένατος", 10: "δέκατος",
+    11: "ενδέκατος", 12: "δωδέκατος", 20: "εικοστός", 30: "τριακοστός",
+    40: "τεσσαρακοστός", 50: "πεντηκοστός", 60: "εξηκοστός",
+    70: "εβδομηκοστός", 80: "ογδοηκοστός", 90: "ενενηκοστός",
+    100: "εκατοστός",
+}
+
+
+def _el_ordinal(n: int) -> str:
+    if n in _EL_ORDINALS:
+        return _EL_ORDINALS[n]
+    if 13 <= n <= 19:
+        return "δέκατος " + _EL_ORDINALS[n - 10]
+    if 21 <= n <= 99:
+        t, u = divmod(n, 10)
+        if u:
+            return _EL_ORDINALS[t * 10] + " " + _EL_ORDINALS[u]
+    raise ValueError(n)
+
+
+def _romance_feminine(word: str) -> str:
+    # primero -> primera (applies per space-separated component)
+    return " ".join(w[:-1] + "a" if w.endswith("o") else w
+                    for w in word.split(" "))
+
+
+def _ru_uk_gender(word: str, gender: str) -> str:
+    def one(w: str) -> str:
+        for m_end, f_end, n_end, g_end in (("ый", "ая", "ое", "ого"),
+                                           ("ій", "я", "є", "ього"),
+                                           ("ий", "а", "е", "ого"),
+                                           ("ой", "ая", "ое", "ого")):
+            if w.endswith(m_end):
+                repl = {"f": f_end, "n": n_end, "g": g_end}[gender]
+                return w[: -len(m_end)] + repl
+        return w
+    if gender == "m":
+        return word
+    parts = word.split(" ")
+    parts[-1] = one(parts[-1])  # only the ordinal component inflects
+    return " ".join(parts)
+
+
+def _ru_gender(word: str, gender: str) -> str:
+    # Russian третий is soft-stem: третья / третье / третьего
+    if word.split(" ")[-1] == "третий" and gender != "m":
+        head = word[: -len("третий")]
+        return head + {"f": "третья", "n": "третье", "g": "третьего"}[gender]
+    return _ru_uk_gender(word, gender)
+
+
+def _el_gender(word: str, gender: str) -> str:
+    if gender == "m":
+        return word
+    parts = word.split(" ")
+    last = parts[-1]
+    if last.endswith("ός"):
+        parts[-1] = last[:-2] + {"f": "ή", "n": "ό"}[gender]
+    elif last.endswith("ος"):
+        parts[-1] = last[:-2] + {"f": "η", "n": "ο"}[gender]
+    return " ".join(parts)
+
+
+_ORDINAL_READERS = {
+    "es": _es_ordinal, "it": _it_ordinal, "pt": _pt_ordinal,
+    "pt-br": _pt_ordinal, "fr": _fr_ordinal, "nl": _nl_ordinal,
+    "de": _de_ordinal, "ru": _ru_ordinal, "uk": _uk_ordinal,
+    "el": _el_ordinal,
+}
+
+
+def number_to_ordinal(n: int, lang: str, gender: str = "m") -> str:
+    """Ordinal words for ``n`` in ``lang``; ``gender`` in {"m","f","n","g"}
+    (g = Slavic genitive, for date markers like "1-го").  Raises KeyError
+    for unsupported languages and ValueError outside each grammar's range
+    (callers fall back to cardinal reading)."""
+    word = _ORDINAL_READERS[lang](n)
+    if gender == "f":
+        if lang in ("es", "it", "pt", "pt-br"):
+            return _romance_feminine(word)
+        if lang == "fr":
+            return "première" if n == 1 else word
+    if lang == "ru":
+        return _ru_gender(word, gender)
+    if lang == "uk":
+        return _ru_uk_gender(word, gender)
+    if lang == "el":
+        return _el_gender(word, gender)
+    return word
