@@ -376,3 +376,23 @@ def test_number_to_ordinal_grammar():
     assert number_to_ordinal(14, "el") == "δέκατος τέταρτος"
     assert number_to_ordinal(20, "el", "f") == "εικοστή"
     assert number_to_ordinal(15, "pt") == "décimo quinto"
+
+
+def test_roman_numerals_romance():
+    """espeak reads Roman numerals as numbers in the Romance languages
+    ("siglo XXI" -> veintiuno, "Louis XIV" -> quatorze); abbreviations
+    that happen to be valid Roman strings (CD, CV) stay untouched."""
+    assert "beintjˈuno" in phonemize_rules("el siglo XXI", "es")
+    assert "katˈɔʁz" in phonemize_rules("Louis XIV", "fr")
+    assert "kwˈattro" in phonemize_rules("capitolo IV", "it")
+    assert "vˈi\u0303ti" in phonemize_rules("século XX", "pt")
+    assert "beintjˈuno" not in phonemize_rules("un CD nuevo", "es")
+    # no Roman reading outside the Romance languages ("MIX" stays a word)
+    assert "tsˈeːn" not in phonemize_rules("der X Faktor", "de")
+
+
+def test_ordinal_markers_attached_only():
+    """A space between digits and marker letters must NOT trigger the
+    ordinal ("boek 3 de kast": Dutch article, not 3de)."""
+    got = phonemize_rules("boek 3 de kast", "nl")
+    assert "dˈɛrdə" not in got and "drˈi" in got

@@ -1207,11 +1207,13 @@ _PRECOMPOSED = str.maketrans({
 # e.g. "3º" -> "tercero", "1er" -> "premier", "der 3. Mai" -> "dritte",
 # "3-й" -> "третий", "3ος" -> "τρίτος")
 _ORDINAL_MARKERS = {
+    # marker letters must be ATTACHED to the digits: a space would make
+    # "3 de" (the Dutch article) or "3 es" false-positive as ordinals
     "es": [(r"(\d+)\.?\s?ª", "f"), (r"(\d+)\.?\s?º", "m")],
-    "fr": [(r"(\d+)\s?(?:ères?|res?)\b", "f"),
-           (r"(\d+)\s?(?:ers?|èmes?|emes?|es?)\b", "m")],
-    "nl": [(r"(\d+)\s?(?:ste|de|e)\b", "m")],
-    "de": [(r"(\d+)\s?te[nrms]?\b", "m"),
+    "fr": [(r"(\d+)(?:ères?|res?)\b", "f"),
+           (r"(\d+)(?:ers?|èmes?|emes?|es?)\b", "m")],
+    "nl": [(r"(\d+)(?:ste|de|e)\b", "m")],
+    "de": [(r"(\d+)te[nrms]?\b", "m"),
            (r"(\d+)\.(?=\s+[A-ZÄÖÜ])", "m")],
     "ru": [(r"(\d+)-?го\b", "g"), (r"(\d+)-?(?:ая|я)\b", "f"),
            (r"(\d+)-?(?:ое|е)\b", "n"), (r"(\d+)-?(?:ый|ой|й)\b", "m")],
@@ -1222,6 +1224,45 @@ _ORDINAL_MARKERS = {
 }
 _ORDINAL_MARKERS["it"] = _ORDINAL_MARKERS["es"]
 _ORDINAL_MARKERS["pt"] = _ORDINAL_MARKERS["pt-br"] = _ORDINAL_MARKERS["es"]
+
+
+# Roman numerals (centuries, monarchs, chapters — espeak reads them as
+# numbers in the Romance languages: "siglo XXI" -> "siglo veintiuno").
+# Strict grammar, 2-6 chars, uppercase only (runs before lowercasing);
+# valid-Roman strings that are really abbreviations are blocklisted.
+_ROMAN_RX = re.compile(
+    r"\b(?=[IVXLCDM]{2,6}\b)"
+    r"(M{0,3})(CM|CD|D?C{0,3})(XC|XL|L?X{0,3})(IX|IV|V?I{0,3})\b")
+_ROMAN_BLOCKLIST = {"CD", "DC", "CM", "MC", "MD", "MM", "CV", "CL", "CI",
+                    "DI", "LI", "XL", "MI"}
+_ROMAN_VALUES = {"I": 1, "V": 5, "X": 10, "L": 50, "C": 100, "D": 500,
+                 "M": 1000}
+_ROMAN_LANGUAGES = {"es", "it", "pt", "pt-br", "fr"}
+
+
+def _roman_value(s: str) -> int:
+    total = 0
+    for i, c in enumerate(s):
+        v = _ROMAN_VALUES[c]
+        total += -v if i + 1 < len(s) and _ROMAN_VALUES[s[i + 1]] > v else v
+    return total
+
+
+def _expand_roman(text: str, lang: str) -> str:
+    if lang not in _ROMAN_LANGUAGES:
+        return text
+    from toucan_tpu.frontend.numbers import number_to_words
+
+    def repl(m):
+        s = m.group(0)
+        if s in _ROMAN_BLOCKLIST:
+            return s
+        try:
+            return number_to_words(_roman_value(s), lang)
+        except (KeyError, ValueError):
+            return s
+
+    return _ROMAN_RX.sub(repl, text)
 
 
 def _expand_ordinals(text: str, lang: str) -> str:
@@ -1309,6 +1350,7 @@ def phonemize_rules(text: str, lang: str) -> str:
     spec = _language(lang)
     lexicon = spec.lexicon
 
+    text = _expand_roman(text, lang)
     text = _expand_ordinals(text, lang)
     text = _expand_numbers(text.lower(), lang, spec.digits)
 
