@@ -396,3 +396,22 @@ def test_ordinal_markers_attached_only():
     ordinal ("boek 3 de kast": Dutch article, not 3de)."""
     got = phonemize_rules("boek 3 de kast", "nl")
     assert "dˈɛrdə" not in got and "drˈi" in got
+
+
+def test_acronym_spelling_rule_languages():
+    """All-caps acronyms (no vowel, or <= 3 letters) read letter by letter
+    with the language's own letter names, like espeak; long pronounceable
+    all-caps tokens still read as words."""
+    assert pr_contains("la UE y el PIB", "es", "pˈe ˈi bˈe")
+    assert pr_contains("un CD nuevo", "es", "θˈe dˈe")
+    assert pr_contains("la SNCF", "fr", "ˈɛs ˈɛn")
+    assert pr_contains("die USA", "de", "ˈuː ˈɛs ˈaː")
+    assert pr_contains("die EU", "de", "ˈeː ˈuː")
+    assert pr_contains("СССР и США", "ru", "ˈes ˈes ˈes ˈer")
+    assert pr_contains("УКРАЇНА", "uk", "ukrajˈina")  # word, not letters
+
+
+def pr_contains(text, lang, expect):
+    got = phonemize_rules(text, lang)
+    assert expect in got, f"{lang} {text!r}: {got!r} missing {expect!r}"
+    return True

@@ -1226,6 +1226,85 @@ _ORDINAL_MARKERS["it"] = _ORDINAL_MARKERS["es"]
 _ORDINAL_MARKERS["pt"] = _ORDINAL_MARKERS["pt-br"] = _ORDINAL_MARKERS["es"]
 
 
+# Letter names for acronym spelling ("la UE", "el PIB", "СССР"): all-caps
+# tokens with no vowel, or of <= 3 letters, read letter by letter like
+# espeak; the names are ORTHOGRAPHIC words the language's own ruleset then
+# phonemizes, so the IPA stays consistent with the rest of the G2P.
+_LETTER_NAMES_BY_LANG = {
+    "es": {"a": "a", "b": "be", "c": "ce", "d": "de", "e": "e", "f": "efe",
+           "g": "ge", "h": "hache", "i": "i", "j": "jota", "k": "ka",
+           "l": "ele", "m": "eme", "n": "ene", "ñ": "eñe", "o": "o",
+           "p": "pe", "q": "cu", "r": "erre", "s": "ese", "t": "te",
+           "u": "u", "v": "uve", "w": "uve doble", "x": "equis",
+           "y": "i griega", "z": "zeta"},
+    "fr": {"a": "a", "b": "bé", "c": "cé", "d": "dé", "e": "e", "f": "effe",
+           "g": "gé", "h": "ache", "i": "i", "j": "ji", "k": "ka",
+           "l": "elle", "m": "emme", "n": "enne", "o": "o", "p": "pé",
+           "q": "ku", "r": "erre", "s": "esse", "t": "té", "u": "u",
+           "v": "vé", "w": "doublevé", "x": "ixe", "y": "igrec",
+           "z": "zède"},
+    "de": {"a": "a", "b": "be", "c": "ze", "d": "de", "e": "eh", "f": "ef",
+           "g": "ge", "h": "ha", "i": "i", "j": "jot", "k": "ka",
+           "l": "el", "m": "em", "n": "en", "o": "o", "p": "pe",
+           "q": "ku", "r": "er", "s": "es", "t": "te", "u": "u",
+           "v": "fau", "w": "we", "x": "iks", "y": "ypsilon", "z": "zett"},
+    "it": {"a": "a", "b": "bi", "c": "ci", "d": "di", "e": "e", "f": "effe",
+           "g": "gi", "h": "acca", "i": "i", "j": "i lunga", "k": "cappa",
+           "l": "elle", "m": "emme", "n": "enne", "o": "o", "p": "pi",
+           "q": "cu", "r": "erre", "s": "esse", "t": "ti", "u": "u",
+           "v": "vu", "w": "doppia vu", "x": "ics", "y": "ipsilon",
+           "z": "zeta"},
+    "pt": {"a": "a", "b": "bê", "c": "cê", "d": "dê", "e": "é", "f": "efe",
+           "g": "gê", "h": "agá", "i": "i", "j": "jota", "k": "capa",
+           "l": "ele", "m": "eme", "n": "ene", "o": "ó", "p": "pê",
+           "q": "quê", "r": "erre", "s": "esse", "t": "tê", "u": "u",
+           "v": "vê", "w": "dáblio", "x": "xis", "y": "ípsilon", "z": "zê"},
+    "nl": {"a": "aa", "b": "bee", "c": "cee", "d": "dee", "e": "ee",
+           "f": "ef", "g": "gee", "h": "haa", "i": "ie", "j": "jee",
+           "k": "kaa", "l": "el", "m": "em", "n": "en", "o": "oo",
+           "p": "pee", "q": "kuu", "r": "er", "s": "es", "t": "tee",
+           "u": "uu", "v": "vee", "w": "wee", "x": "iks", "y": "ypsilon",
+           "z": "zet"},
+    "pl": {"a": "a", "b": "be", "c": "ce", "d": "de", "e": "e", "f": "ef",
+           "g": "gie", "h": "ha", "i": "i", "j": "jot", "k": "ka",
+           "l": "el", "m": "em", "n": "en", "o": "o", "p": "pe",
+           "q": "ku", "r": "er", "s": "es", "t": "te", "u": "u",
+           "w": "wu", "x": "iks", "y": "igrek", "z": "zet"},
+    "ru": {"а": "а", "б": "бэ", "в": "вэ", "г": "гэ", "д": "дэ", "е": "е",
+           "ё": "ё", "ж": "жэ", "з": "зэ", "и": "и", "й": "и", "к": "ка",
+           "л": "эль", "м": "эм", "н": "эн", "о": "о", "п": "пэ",
+           "р": "эр", "с": "эс", "т": "тэ", "у": "у", "ф": "эф",
+           "х": "ха", "ц": "цэ", "ч": "че", "ш": "ша", "щ": "ща",
+           "ы": "ы", "э": "э", "ю": "ю", "я": "я"},
+    "uk": {"а": "а", "б": "бе", "в": "ве", "г": "ге", "ґ": "ґе", "д": "де",
+           "е": "е", "є": "є", "ж": "же", "з": "зе", "и": "и", "і": "і",
+           "ї": "ї", "й": "й", "к": "ка", "л": "ел", "м": "ем",
+           "н": "ен", "о": "о", "п": "пе", "р": "ер", "с": "ес",
+           "т": "те", "у": "у", "ф": "еф", "х": "ха", "ц": "це",
+           "ч": "че", "ш": "ша", "щ": "ща", "ю": "ю", "я": "я"},
+}
+_SPELL_VOWELS = set("aeiouyáéíóúàèìòùâêîôûäëïöüãõаеёиоуыэюяіїє")
+_UPPER_TOKEN_RX = re.compile(r"\b[^\W\d_]{2,6}\b")
+
+
+def _spell_acronyms(text: str, lang: str) -> str:
+    names = _LETTER_NAMES_BY_LANG.get(lang)
+    if not names:
+        return text
+
+    def repl(m):
+        tok = m.group(0)
+        if not tok.isupper():
+            return tok
+        low = tok.lower()
+        vowelless = not any(c in _SPELL_VOWELS for c in low)
+        if not (vowelless or len(tok) <= 3):
+            return tok  # long pronounceable all-caps: read as a word
+        return " ".join(names.get(c, c) for c in low)
+
+    return _UPPER_TOKEN_RX.sub(repl, text)
+
+
 # Roman numerals (centuries, monarchs, chapters — espeak reads them as
 # numbers in the Romance languages: "siglo XXI" -> "siglo veintiuno").
 # Strict grammar, 2-6 chars, uppercase only (runs before lowercasing);
@@ -1352,6 +1431,7 @@ def phonemize_rules(text: str, lang: str) -> str:
 
     text = _expand_roman(text, lang)
     text = _expand_ordinals(text, lang)
+    text = _spell_acronyms(text, lang)
     text = _expand_numbers(text.lower(), lang, spec.digits)
 
     def convert(m):
