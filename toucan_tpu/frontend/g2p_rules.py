@@ -558,6 +558,34 @@ _RU_STRESS = {
     "опять": 1, "эти": 0, "если": 0, "только": 0, "чего": 1,
     "кого": 1, "того": 1, "всего": 1, "никого": 2, "его": 1,
     "него": 1, "много": 0, "очень": 0, "ещё": 1,
+    # months (date reading with ordinals: "1-го мая")
+    "января": 2, "февраля": 2, "марта": 0, "апреля": 1, "мая": 0,
+    "июня": 1, "июля": 1, "августа": 0, "сентября": 2, "октября": 2,
+    "ноября": 2, "декабря": 2, "январь": 1, "февраль": 1, "апрель": 1,
+    "июнь": 1, "июль": 1, "август": 0, "сентябрь": 1, "октябрь": 1,
+    "ноябрь": 1, "декабрь": 1,
+    # weekdays
+    "понедельник": 2, "вторник": 0, "среда": 1, "четверг": 1,
+    "пятница": 0, "суббота": 1, "воскресенье": 2,
+    # time / money / quantity
+    "часов": 1, "часа": 1, "минута": 1, "минуты": 1, "минут": 1,
+    "секунда": 1, "секунды": 1, "секунд": 1, "рублей": 1, "рубля": 1,
+    "копеек": 1, "евро": 0, "доллара": 0, "процента": 1, "градуса": 0,
+    "миллион": 2, "миллиона": 2, "миллионов": 2, "миллиард": 2,
+    "миллиарда": 2, "миллиардов": 2, "тысячу": 0, "половина": 2,
+    # frequent polysyllables
+    "государство": 2, "область": 0, "система": 1, "программа": 1,
+    "развитие": 1, "решение": 1, "возможность": 1, "компания": 1,
+    "информация": 2, "результат": 2, "процесс": 1, "момент": 1,
+    "сколько": 0, "несколько": 0, "каждый": 0, "любой": 1,
+    "другой": 1, "другие": 1, "самый": 0, "самая": 0, "который": 1,
+    "которая": 1, "которые": 1, "после": 0, "перед": 0, "через": 0,
+    "между": 0, "около": 0, "вместе": 0, "тогда": 1, "также": 0,
+    "почти": 1, "более": 0, "менее": 0, "утром": 0, "вечером": 0,
+    "ночи": 0, "извините": 2, "хочу": 1, "могу": 1, "знаю": 0,
+    "говорю": 2, "понимаю": 2, "работаю": 1, "русская": 0,
+    "новости": 0, "страницы": 1, "номер": 0, "телефон": 2,
+    "интернет": 2, "компьютер": 1,
 }
 
 # unstressed function words (clitics): never auto-stress the monosyllable
@@ -635,6 +663,28 @@ _UK_STRESS = {
     "кома": 0, "відсотків": 1, "доларів": 0, "градусів": 0,
     "мене": 1, "тебе": 1, "себе": 1, "вона": 1, "вони": 1, "воно": 1,
     "тільки": 0, "коли": 1, "якщо": 1, "його": 1, "її": 1,
+    # months (genitive: "1-го травня"; keys apostrophe-stripped)
+    "січня": 0, "лютого": 0, "березня": 0, "квітня": 0, "травня": 0,
+    "червня": 0, "липня": 0, "серпня": 0, "вересня": 0, "жовтня": 0,
+    "листопада": 2, "грудня": 0, "січень": 0, "лютий": 0, "березень": 0,
+    "квітень": 0, "травень": 0, "червень": 0, "липень": 0,
+    "серпень": 0, "вересень": 0, "жовтень": 0, "листопад": 2,
+    "грудень": 0,
+    # weekdays
+    "понеділок": 2, "вівторок": 1, "середа": 2, "четвер": 1,
+    "пятниця": 0, "субота": 1,
+    # time / money / quantity
+    "година": 1, "години": 1, "годин": 1, "хвилина": 1, "хвилини": 1,
+    "хвилин": 1, "секунда": 1, "секунди": 1, "гривень": 0, "гривні": 0,
+    "відсотка": 1, "мільйон": 1, "мільйона": 1, "мільйонів": 1,
+    "мільярд": 1, "тисячу": 0, "половина": 2,
+    # frequent polysyllables
+    "будинок": 1, "вулиці": 0, "місяця": 0, "тижня": 0, "новини": 1,
+    "сторінки": 2, "номер": 0, "телефон": 2, "інтернет": 2,
+    "словами": 1, "скільки": 0, "декілька": 1, "кожен": 0,
+    "інший": 0, "разом": 0, "після": 0, "через": 0, "майже": 0,
+    "більше": 0, "менше": 0, "вранці": 0, "ввечері": 1,
+    "вибачте": 0, "хочу": 1, "можу": 0, "знаю": 0, "розумію": 2,
 }
 
 # ordinal adjectives (frontend/numbers.py::number_to_ordinal output) —
