@@ -354,6 +354,22 @@ HANZI_PINYIN = {
     "汉": "han4", "词": "ci2", "典": "dian3", "姐": "jie3", "哥": "ge1",
     "校": "xiao4", "院": "yuan4", "楚": "chu3", "晨": "chen2",
     "弟": "di4", "妹": "mei4", "孩": "hai2", "狮": "shi1", "熊": "xiong2",
+    # next frequency band + everyday vocabulary (late round 4)
+    "半": "ban4", "差": "cha4", "单": "dan1", "灯": "deng1", "低": "di1",
+    "短": "duan3", "段": "duan4", "饿": "e4", "父": "fu4", "干": "gan4",
+    "刚": "gang1", "告": "gao4", "故": "gu4", "馆": "guan3", "贵": "gui4",
+    "坏": "huai4", "级": "ji2", "计": "ji4", "节": "jie2", "介": "jie4",
+    "旧": "jiu4", "渴": "ke3", "哭": "ku1", "块": "kuai4", "离": "li2",
+    "礼": "li3", "历": "li4", "亮": "liang4", "旅": "lv3", "妈": "ma1",
+    "每": "mei3", "母": "mu3", "哪": "na3", "脑": "nao3", "您": "nin2",
+    "旁": "pang2", "妻": "qi1", "汽": "qi4", "青": "qing1", "清": "qing1",
+    "认": "ren4", "商": "shang1", "谁": "shei2", "识": "shi2", "室": "shi4",
+    "视": "shi4", "诉": "su4", "岁": "sui4", "网": "wang3", "午": "wu3",
+    "系": "xi4", "香": "xiang1", "姓": "xing4", "颜": "yan2", "爷": "ye2",
+    "夜": "ye4", "银": "yin2", "影": "ying3", "泳": "yong3", "游": "you2",
+    "右": "you4", "元": "yuan2", "照": "zhao4", "钟": "zhong1", "准": "zhun3",
+    "足": "zu2", "左": "zuo3",
+
 }
 
 _HAN_RX = re.compile(r"[一-鿿]")
