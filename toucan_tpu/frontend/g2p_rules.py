@@ -1337,7 +1337,7 @@ _SPELL_VOWELS = set("aeiouyÃ¡Ã©Ã­Ã³ÃºÃ Ã¨Ã¬Ã²Ã¹Ã¢ÃªÃ®Ã´Ã»Ã¤Ã«Ã¯Ã¶Ã¼Ã£ÃµÐ°ÐµÑ‘Ð¸Ð
 _UPPER_TOKEN_RX = re.compile(r"\b[^\W\d_]{2,6}\b")
 
 
-def _spell_acronyms(text: str, lang: str) -> str:
+def _spell_acronyms(text: str, lang: str, lexicon=()) -> str:
     names = _LETTER_NAMES_BY_LANG.get(lang)
     if not names:
         return text
@@ -1347,6 +1347,8 @@ def _spell_acronyms(text: str, lang: str) -> str:
         if not tok.isupper():
             return tok
         low = tok.lower()
+        if low in lexicon:
+            return tok  # all-caps ordinary word (headlines): read as word
         vowelless = not any(c in _SPELL_VOWELS for c in low)
         if not (vowelless or len(tok) <= 3):
             return tok  # long pronounceable all-caps: read as a word
@@ -1481,7 +1483,7 @@ def phonemize_rules(text: str, lang: str) -> str:
 
     text = _expand_roman(text, lang)
     text = _expand_ordinals(text, lang)
-    text = _spell_acronyms(text, lang)
+    text = _spell_acronyms(text, lang, lexicon)
     text = _expand_numbers(text.lower(), lang, spec.digits)
 
     def convert(m):
