@@ -527,10 +527,12 @@ _TOKEN = re.compile(r"[a-zA-Z']+|[^\sa-zA-Z']")
 _VOWEL_LETTERS = set("aeiouy")
 
 
-def _is_spelled_acronym(tok: str) -> bool:
+def _is_spelled_acronym(tok: str, mixed_case: bool = True) -> bool:
     """All-caps tokens read letter by letter (espeak behavior): always when
     they contain no vowel letter ("TV", "BBC"), and for short ones ("USA",
-    "UK") unless they are known pronounceable acronyms ("NASA")."""
+    "UK") unless they are known pronounceable acronyms ("NASA").  In fully
+    uppercase text (``mixed_case=False``, e.g. "THE END") capitalization is
+    styling, not acronym evidence — only vowelless tokens spell there."""
     if len(tok) < 2 or not tok.isupper() or not tok.isalpha():
         return False
     low = tok.lower()
@@ -538,7 +540,7 @@ def _is_spelled_acronym(tok: str) -> bool:
         return False
     if not any(c in _VOWEL_LETTERS for c in low):
         return True
-    return len(tok) <= 3 and low not in _EXCEPTIONS
+    return mixed_case and len(tok) <= 3 and low not in _EXCEPTIONS
 
 
 def phonemize_english(text: str) -> str:
@@ -550,9 +552,13 @@ def phonemize_english(text: str) -> str:
     text = _normalize_english(text)
     text = _spell_out_numbers(text)
     pieces = []
+    # fully-uppercase MULTI-WORD text is styling ("THE END"); a lone
+    # all-caps token ("USA") is acronym evidence regardless
+    words = re.findall(r"[a-zA-Z']+", text)
+    mixed_case = any(c.islower() for c in text) or len(words) < 2
     for tok in _TOKEN.findall(text):
         if tok[0].isalpha() or tok[0] == "'":
-            if _is_spelled_acronym(tok):
+            if _is_spelled_acronym(tok, mixed_case):
                 pieces.append(" ".join(_word_to_ipa(w)
                                        for w in spell_out(tok).split(" ")))
             else:

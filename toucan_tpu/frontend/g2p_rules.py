@@ -1342,6 +1342,12 @@ def _spell_acronyms(text: str, lang: str, lexicon=()) -> str:
     if not names:
         return text
 
+    # fully-uppercase MULTI-WORD text is styling ("DER SPIEGEL"), not
+    # acronym evidence — only vowelless tokens spell there; a lone
+    # all-caps token ("USA") is an acronym regardless
+    mixed_case = any(c.islower() for c in text) \
+        or len(re.findall(r"[^\W\d_]+", text)) < 2
+
     def repl(m):
         tok = m.group(0)
         if not tok.isupper():
@@ -1350,8 +1356,8 @@ def _spell_acronyms(text: str, lang: str, lexicon=()) -> str:
         if low in lexicon:
             return tok  # all-caps ordinary word (headlines): read as word
         vowelless = not any(c in _SPELL_VOWELS for c in low)
-        if not (vowelless or len(tok) <= 3):
-            return tok  # long pronounceable all-caps: read as a word
+        if not (vowelless or (mixed_case and len(tok) <= 3)):
+            return tok  # long / styled all-caps: read as a word
         return " ".join(names.get(c, c) for c in low)
 
     return _UPPER_TOKEN_RX.sub(repl, text)
