@@ -122,7 +122,7 @@ _EXCEPTIONS = {
     "minus": "mˈaɪnəs", "hundred": "hˈʌndɹəd", "hundredth": "hˈʌndɹədθ",
     "thousand": "θˈaʊzənd", "thousandth": "θˈaʊzəndθ",
     "million": "mˈɪljən", "millionth": "mˈɪljənθ", "billion": "bˈɪljən",
-    "eighth": "ˈeɪtθ",
+    "eighth": "ˈeɪtθ", "nineties": "nˈaɪntiz", "seventies": "sˈɛvəntiz",
     # normalization helpers (clock times, spelled acronyms, abbreviations)
     "o'clock": "əklˈɑk", "misess": "mˈɪsɪz", "versus": "vˈɜɹsəs",
     "cetera": "sˈɛtəɹə", "nasa": "nˈæsə",
