@@ -1259,7 +1259,8 @@ _PRECOMPOSED = str.maketrans({
 _ORDINAL_MARKERS = {
     # marker letters must be ATTACHED to the digits: a space would make
     # "3 de" (the Dutch article) or "3 es" false-positive as ordinals
-    "es": [(r"(\d+)\.?\s?ª", "f"), (r"(\d+)\.?\s?º", "m")],
+    "es": [(r"(\d+)\.?\s?ª", "f"), (r"(\d+)\.?\s?º", "m"),
+           (r"(\d+)er\b", "apoc")],  # 1er piso -> primer
     "fr": [(r"(\d+)(?:ères?|res?)\b", "f"),
            (r"(\d+)(?:ers?|èmes?|emes?|es?)\b", "m")],
     "nl": [(r"(\d+)(?:ste|de|e)\b", "m")],
@@ -1414,9 +1415,13 @@ def _expand_ordinals(text: str, lang: str) -> str:
     def repl(gender):
         def go(m):
             try:
-                word = number_to_ordinal(int(m.group(1)), lang, gender)
+                word = number_to_ordinal(int(m.group(1)), lang,
+                                         "m" if gender == "apoc" else gender)
             except (KeyError, ValueError):
                 return m.group(0)
+            if gender == "apoc":  # es 1er/3er: primer piso, tercer día
+                word = re.sub(r"(primero|tercero)$",
+                              lambda w: w.group(1)[:-1], word)
             if lang == "ru" and gender == "g":
                 # adjective genitive -ого is pronounced with /v/; respell
                 # so the ruleset reads it right (первого -> первово)
