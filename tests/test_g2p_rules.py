@@ -415,3 +415,31 @@ def pr_contains(text, lang, expect):
     got = phonemize_rules(text, lang)
     assert expect in got, f"{lang} {text!r}: {got!r} missing {expect!r}"
     return True
+
+
+def test_french_liaison():
+    """Obligatory liaison surfaces the latent final consonant before a
+    vowel-initial word (espeak models this across words; reference path
+    TextFrontend.py:298).  Optional liaisons stay off; h-aspiré and
+    punctuation block it."""
+    assert pr_contains("les amis", "fr", "lˈez amˈi")
+    assert pr_contains("nous avons", "fr", "nˈuz avˈɔ̃")
+    assert pr_contains("un ami", "fr", "ˈœ̃n amˈi")
+    assert pr_contains("grand homme", "fr", "ɡʁˈɑ̃t ˈɔm")
+    assert pr_contains("c'est une idée", "fr", "sˈɛt ˈyn")
+    assert pr_contains("six ans", "fr", "sˈiz ˈɑ̃")        # s -> z rewrite
+    assert pr_contains("bon ami", "fr", "bˈɔn amˈi")       # denasalized
+    assert pr_contains("premier étage", "fr", "pʁəmjˈɛʁ")  # e -> ɛʁ
+    assert pr_contains("beaucoup aimé", "fr", "bokˈup")
+    assert pr_contains("2 ans", "fr", "dˈøz")              # via numerals
+    # inversion liaison inside hyphenation
+    assert pr_contains("est-il", "fr", "ɛtˈil")
+    assert pr_contains("ont-ils", "fr", "ɔ̃tˈil")
+    # blockers: consonant onset, h-aspiré, punctuation boundary
+    assert pr_contains("petit garçon", "fr", "pətˈi ɡ")
+    assert pr_contains("les héros", "fr", "lˈe eʁˈɔ")
+    assert pr_contains("les huit", "fr", "lˈe ɥˈit")
+    assert pr_contains("les, amis", "fr", "lˈe, amˈi")
+    # 81 must not become *quatre-vingt-t-un
+    got = phonemize_rules("81", "fr")
+    assert "vɛ̃tˈœ̃" not in got.replace(" ", "")

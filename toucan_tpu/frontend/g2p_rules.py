@@ -23,7 +23,9 @@ Quality notes (documented approximations):
 * ru/uk: letter-to-sound with palatalization; unstressed-vowel reduction
   and lexical stress need a stress lexicon and are approximated (no
   reduction, no stress mark).
-* fr: rule systems reach ~90% on French; liaison is not modeled.
+* fr: rule systems reach ~90% on French; obligatory liaison is modeled
+  through a lookahead pass (closed word list + h-aspiré blocklist);
+  optional/stylistic liaisons intentionally stay off.
 * pt: vowel reduction is not modeled; nasalization is.
 * de: stress falls on the first syllable (common case); separable-prefix
   stress shifts are not modeled.  Vowel length follows the open/closed
@@ -950,6 +952,71 @@ _FR_RULES = [
 _FR_DIGITS = ["zéro", "un", "deux", "trois", "quatre", "cinq", "six",
               "sept", "huit", "neuf"]
 
+# --- French liaison (obligatory / near-obligatory contexts only) ---------
+# espeak models liaison between words; the per-word ruleset cannot.  A
+# lookahead pass appends the latent final consonant of a closed word list
+# (determiners, clitic pronouns, monosyllabic preps/adverbs, prenominal
+# adjectives, être/avoir forms) when the next word in the same breath
+# group (spaces only, no punctuation) is vowel-initial and not h-aspiré.
+# Optional/stylistic liaisons (pas encore, verbs + complement) stay off:
+# a missing liaison is acceptable French, a wrong one is not.
+_FR_LIAISON = {
+    # -s/-x/-z -> /z/
+    "les": "z", "des": "z", "ces": "z", "mes": "z", "tes": "z", "ses": "z",
+    "nos": "z", "vos": "z", "leurs": "z", "aux": "z", "deux": "z",
+    "trois": "z", "nous": "z", "vous": "z", "ils": "z", "elles": "z",
+    "chez": "z", "très": "z", "dans": "z", "sans": "z", "sous": "z",
+    "plus": "z", "quelques": "z", "plusieurs": "z", "gros": "z",
+    "tous": "z", "quels": "z", "quelles": "z", "petits": "z",
+    "grands": "z", "bons": "z", "autres": "z",
+    # -t/-d -> /t/
+    "est": "t", "sont": "t", "ont": "t", "tout": "t", "petit": "t",
+    "grand": "t", "quand": "t", "dont": "t", "vingt": "t", "cent": "t",
+    # -n -> /n/ (nasal vowel kept, modern usage: mon ami = mɔ̃n‿ami)
+    "un": "n", "on": "n", "en": "n", "mon": "n", "ton": "n", "son": "n",
+    "bien": "n", "rien": "n", "aucun": "n",
+    # -p -> /p/
+    "trop": "p", "beaucoup": "p",
+}
+# liaison forms that rewrite the word's final segment instead of appending
+# (six/dix devoice s->z; bon denasalizes; premier/dernier open e + add ʁ)
+_FR_LIAISON_SUB = {
+    "six": ("s", "z"), "dix": ("s", "z"), "bon": ("ɔ̃", "ɔn"),
+    "premier": ("e", "ɛʁ"), "dernier": ("e", "ɛʁ"),
+}
+# h-aspiré and glide-initial words that look vowel-initial but block
+# liaison (les héros = le eʁo, les huit = le ɥit)
+_FR_H_ASPIRE = {
+    "huit", "huitième", "onze", "onzième", "oui", "yaourt", "yaourts",
+    "yoga", "yoyo", "héros", "haut", "hauts", "haute", "hautes",
+    "hauteur", "haine", "hasard", "hors", "haricot", "haricots",
+    "hibou", "hiboux", "honte", "hall", "hockey", "hamburger",
+    "hamburgers", "hache", "hanche", "hérisson", "hâte", "halte",
+}
+_FR_VOWEL0 = set("aeiouyàâéèêëîïôùûœæ")
+# verb forms whose inversion t/ t-d liaison is mandatory (est-il, ont-ils)
+_FR_INVERSION = {"est": "t", "sont": "t", "ont": "t", "vont": "t",
+                 "font": "t", "prend": "t", "quand": "t"}
+
+
+def _fr_liaison_target(word: str) -> bool:
+    """True when liaison may land on ``word`` (vowel-initial, not aspiré)."""
+    if word in _FR_H_ASPIRE:
+        return False
+    c = word[0]
+    return c in _FR_VOWEL0 or (c == "h")
+
+
+def _fr_apply_liaison(word: str, ipa: str) -> str:
+    """Return the liaison form of ``word``'s IPA, or ``ipa`` unchanged."""
+    key = re.split(r"['-]", word.replace("’", "'"))[-1]  # c'est -> est
+    if key in _FR_LIAISON_SUB:
+        old, new = _FR_LIAISON_SUB[key]
+        return ipa[: -len(old)] + new if ipa.endswith(old) else ipa
+    if key in _FR_LIAISON:
+        return ipa + _FR_LIAISON[key]
+    return ipa
+
 # ---------------------------------------------------------------------------
 # Vietnamese (quốc ngữ syllable parser; tones like the reference's
 # espeak-number -> contour table, TextFrontend.py:304-312)
@@ -1516,7 +1583,34 @@ def phonemize_rules(text: str, lang: str) -> str:
                     and "'" in word:
                 ipa += _FR_CLITICS[p]  # elided clitic keeps only its onset
             else:
-                ipa += lexicon.get(p, spec.rules.apply(p))
+                piece = lexicon.get(p, spec.rules.apply(p))
+                # mandatory inversion liaison inside hyphenation (est-il,
+                # ont-ils); number compounds (quatre-vingt-un) excluded by
+                # the closed verb list
+                if lang == "fr" and pi < len(parts) - 1 \
+                        and p in _FR_INVERSION \
+                        and parts[pi + 1][:1] in _FR_VOWEL0:
+                    piece += _FR_INVERSION[p]
+                ipa += piece
         return spec.stress(word.replace("'", "").replace("-", ""), ipa)
+
+    if lang == "fr":
+        # lookahead pass for liaison: the latent final consonant of a
+        # closed word list surfaces before a vowel-initial word when only
+        # spaces separate them (punctuation = breath-group boundary)
+        matches = list(_WORD_RX.finditer(text))
+        out, last = [], 0
+        for i, m in enumerate(matches):
+            out.append(text[last:m.start()])
+            ipa = convert(m)
+            if i + 1 < len(matches):
+                gap = text[m.end():matches[i + 1].start()]
+                if gap and set(gap) <= {" ", " "} \
+                        and _fr_liaison_target(matches[i + 1].group(0)):
+                    ipa = _fr_apply_liaison(m.group(0), ipa)
+            out.append(ipa)
+            last = m.end()
+        out.append(text[last:])
+        return "".join(out).translate(_PRECOMPOSED)
 
     return _WORD_RX.sub(convert, text).translate(_PRECOMPOSED)
