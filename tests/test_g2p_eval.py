@@ -8,7 +8,7 @@ MIN_WORD_ACC = {
     "en": 1.0, "es": 1.0, "de": 1.0, "fr": 1.0, "fi": 1.0, "hu": 1.0,
     "el": 1.0, "ru": 1.0, "uk": 1.0, "fa": 1.0, "vi": 1.0,
     "cmn": 1.0,
-    "it": 1.0, "nl": 1.0, "pl": 1.0, "pt": 1.0,
+    "it": 1.0, "nl": 1.0, "pl": 1.0, "pt": 1.0, "pt-br": 1.0,
 }
 MAX_PER = 0.03
 

@@ -26,7 +26,10 @@ Quality notes (documented approximations):
 * fr: rule systems reach ~90% on French; obligatory liaison is modeled
   through a lookahead pass (closed word list + h-aspiré blocklist);
   optional/stylistic liaisons intentionally stay off.
-* pt: vowel reduction is not modeled; nasalization is.
+* pt ("pt" = European, "pt-br" = Brazilian): nasalization in both;
+  EP additionally models unstressed-vowel reduction (a->ɐ, o->u, e->ɨ),
+  pre-consonant s -> ʃ/ʒ, and final e -> ɨ; BR keeps full pretonic
+  vowels with final-vowel reduction only.
 * de: stress falls on the first syllable (common case); separable-prefix
   stress shifts are not modeled.  Vowel length follows the open/closed
   syllable rule plus a function-word lexicon.
@@ -843,8 +846,10 @@ _PT_RULES = [
     Rule("g", "ʒ", post="[eéêií]"), Rule("g", "ɡ"), Rule("j", "ʒ"),
     Rule("x", "ʃ"), Rule("z", "z"), Rule("h", ""),
     Rule("s", "z", pre="[aeiouáéíóúâêô]", post="[aeiouáéíóúâêô]"),
+    Rule("s", "z", post="[bdgmnlrvzj]"),  # mesmo -> mezmu (EP ʒ overrides)
     Rule("s", "ʃ", post="$"), Rule("s", "s"),
     Rule("oi", "oj"), Rule("ai", "aj"), Rule("ei", "ej"), Rule("au", "aw"),
+    Rule("ou", "o"),  # monophthongized in both variants (outro, falou)
     Rule("e", "ɛ", post="r$"),  # colher, mulher
     Rule("r", "ʁ", pre="^"), Rule("r", "ʁ", post="$"), Rule("r", "ɾ"),
     Rule("o", "u", post="$"), Rule("e", "i", post="$"),
@@ -872,6 +877,50 @@ _PT_LEXICON = {
     "dez": "dˈɛʃ", "ela": "ˈɛlɐ", "ele": "ˈeli", "avó": "avˈɔ",
     "avô": "avˈo", "pé": "pˈɛ", "só": "sˈɔ",
 }
+
+# --- European Portuguese ("pt"; "pt-br" keeps the Brazilian-flavored base
+# ruleset above).  EP differs systematically: unstressed/final e -> ɨ,
+# s before a consonant -> ʃ (voiceless) / ʒ (voiced), and across-the-board
+# unstressed vowel reduction (a -> ɐ, o -> u) applied AFTER stress
+# assignment (``stress_portuguese_eu``).  Reference behavior: espeak's
+# distinct pt vs pt-br voices behind TextFrontend.py:490-525.
+_PT_EU_ONLY = [
+    Rule("e", "ɨ", post="$"),                      # morte -> mˈɔɾtɨ
+    Rule("e", "ɨ", pre="^", post="s[^aeiouáéíóú]"),  # escola -> ɨʃkˈɔlɐ
+    Rule("s", "ʃ", post="[pçtkfqc]"),              # estar -> ɨʃtˈaɾ
+    Rule("s", "ʒ", post="[bdgmnlrvzj]"),           # mesmo -> mˈeʒmu
+]
+_PT_EU_RULES = _PT_EU_ONLY + [
+    r for r in _PT_RULES
+    if not (r.src == "e" and r.post == "$" and not r.pre)
+    and not (r.src == "e" and r.pre == "^")
+]
+
+_PT_EU_LEXICON = dict(_PT_LEXICON)
+_PT_EU_LEXICON.update({
+    "escola": "ɨʃkˈɔlɐ", "escolas": "ɨʃkˈɔlɐʃ", "morte": "mˈɔɾtɨ",
+    "forte": "fˈɔɾtɨ", "nove": "nˈɔvɨ", "sete": "sˈɛtɨ", "ele": "ˈelɨ",
+    "festa": "fˈɛʃtɐ", "e": "i",  # the conjunction is /i/ in EP
+})
+
+
+def _pt_eu_reduce(ipa: str) -> str:
+    """EP unstressed-vowel reduction: a -> ɐ, o -> u, e -> ɨ everywhere a
+    stress mark does not immediately precede and no nasal tilde follows
+    (nasal vowels never reduce; e before the offglide j keeps its quality:
+    unstressed ei stays ej)."""
+    out = []
+    for i, ch in enumerate(ipa):
+        if ch in "aoe" and (i == 0 or ipa[i - 1] != PRIMARY_STRESS):
+            nxt = ipa[i + 1] if i + 1 < len(ipa) else ""
+            if nxt != "̃" and not (ch == "e" and nxt == "j"):
+                ch = {"a": "ɐ", "o": "u", "e": "ɨ"}[ch]
+        out.append(ch)
+    return "".join(out)
+
+
+def stress_portuguese_eu(word: str, ipa: str) -> str:
+    return _pt_eu_reduce(stress_portuguese(word, ipa))
 
 # ---------------------------------------------------------------------------
 # French (approximation; final-syllable prominence)
@@ -1298,7 +1347,7 @@ def _language(lang: str) -> Language:
         "de": (_DE_RULES, stress_initial, _DE_DIGITS, _DE_LEXICON),
         "ru": (_RU_RULES, stress_russian, _RU_DIGITS, _RU_LEXICON),
         "uk": (_UK_RULES, stress_ukrainian, _UK_DIGITS, {}),
-        "pt": (_PT_RULES, stress_portuguese, _PT_DIGITS, _PT_LEXICON),
+        "pt": (_PT_EU_RULES, stress_portuguese_eu, _PT_DIGITS, _PT_EU_LEXICON),
         "pt-br": (_PT_RULES, stress_portuguese, _PT_DIGITS, _PT_LEXICON),
         "fr": (_FR_RULES, stress_french, _FR_DIGITS, _FR_LEXICON),
     }
