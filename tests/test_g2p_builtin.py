@@ -174,3 +174,34 @@ def test_english_ordinal_words():
     assert number_to_ordinal_words(30) == "thirtieth"
     assert number_to_ordinal_words(100) == "one hundredth"
     assert number_to_ordinal_words(1000) == "one thousandth"
+
+
+def test_english_units_fractions_ranges_years_roman():
+    """Late round-4 normalization: measurement units after numerals,
+    simple fractions, digit ranges, year-style four-digit reading after a
+    year-selecting word, and Roman numerals after a capitalized word
+    (espeak-covered inputs, reference TextFrontend.py:298)."""
+    from toucan_tpu.frontend.g2p_en import phonemize_english as g
+
+    assert "kəlˈɑmətəɹz" in g("5 km away")
+    assert "kəlˈɑmətəɹ " in g("1 km only")          # singular for 1
+    assert "ɡˈɪɡəhɜɹts" in g("2.4 GHz")
+    assert "mˈaɪlz pˈəɹ ˈaʊəɹ" in g("60 mph")
+    assert "km" not in g("5 km")                     # nothing raw leaks
+    # fractions: half/thirds/quarters by name, others as "over"
+    assert "θɹˈi kwˈɑɹtɜɹz" in g("3/4 of them")
+    assert "hˈæf" in g("1/2 cup")
+    assert "ˈoʊvəɹ" in g("2/5 done")
+    # ranges read as "to"
+    assert "tˈu tu θɹˈi" in g("2-3 weeks")
+    # years: two-pair style in year contexts, cardinal elsewhere
+    assert "nˈaɪntin ˈeɪti fɔɹ" in g("in 1984")
+    assert "twˈɛnti twˈɛnti fˈaɪv" in g("the year 2025")
+    assert "θˈaʊzənd sˈɛvən" in g("in 2007")
+    assert "ˈoʊ sˈɪks" in g("since 1906")
+    assert "θˈaʊzənd" in g("1984 things")            # no context word
+    # Roman numerals after a capitalized word; lone I stays the pronoun
+    assert "tˈu" in g("World War II")
+    assert "ˈeɪt" in g("Henry VIII")
+    assert "fɔɹ" in g("Chapter IV")
+    assert g("World War I").endswith("aɪ")

@@ -126,6 +126,17 @@ _EXCEPTIONS = {
     # normalization helpers (clock times, spelled acronyms, abbreviations)
     "o'clock": "əklˈɑk", "misess": "mˈɪsɪz", "versus": "vˈɜɹsəs",
     "cetera": "sˈɛtəɹə", "nasa": "nˈæsə",
+    # unit words (the letter rules mangle giga-/hertz/hour compounds)
+    "hour": "ˈaʊəɹ", "hours": "ˈaʊəɹz", "flour": "flˈaʊəɹ",
+    "halves": "hˈævz", "hertz": "hˈɜɹts",
+    "gigabyte": "ɡˈɪɡəbaɪt", "gigabytes": "ɡˈɪɡəbaɪts",
+    "megabyte": "mˈɛɡəbaɪt", "megabytes": "mˈɛɡəbaɪts",
+    "kilobyte": "kˈɪləbaɪt", "kilobytes": "kˈɪləbaɪts",
+    "terabyte": "tˈɛɹəbaɪt", "terabytes": "tˈɛɹəbaɪts",
+    "gigahertz": "ɡˈɪɡəhɜɹts", "megahertz": "mˈɛɡəhɜɹts",
+    "kilohertz": "kˈɪləhɜɹts",
+    "kilometer": "kəlˈɑmətəɹ", "kilometers": "kəlˈɑmətəɹz",
+    "millisecond": "mˈɪlisɛkənd", "milliseconds": "mˈɪlisɛkəndz",
     "ay": "ˈeɪ", "cee": "sˈi", "dee": "dˈi", "ee": "ˈi", "ef": "ˈɛf",
     "gee": "dʒˈi", "aitch": "ˈeɪtʃ", "jay": "dʒˈeɪ", "kay": "kˈeɪ",
     "el": "ˈɛl", "em": "ˈɛm", "en": "ˈɛn", "owe": "ˈoʊ", "pee": "pˈi",
@@ -410,6 +421,81 @@ _HOUR_AMPM = re.compile(r"\b(\d{1,2})\s*([aApP])\.?[mM]\.?(?=\W|$)")
 _DOTTED_ABBREV = re.compile(r"\b(?:[A-Za-z]\.){2,}")
 _ORDINAL = re.compile(r"\b(\d+)(?:st|nd|rd|th)\b")
 
+# measurement units after a number ("5 km" -> "5 kilometers"); unit tokens
+# are case-sensitive and only fire directly after a numeral, so prose words
+# ("MS Word") and ambiguous single letters (m, g, l) are never touched
+_UNITS = {
+    "km/h": ("kilometer per hour", "kilometers per hour"),
+    "mph": ("mile per hour", "miles per hour"),
+    "kWh": ("kilowatt hour", "kilowatt hours"),
+    "GHz": ("gigahertz", "gigahertz"), "MHz": ("megahertz", "megahertz"),
+    "kHz": ("kilohertz", "kilohertz"), "Hz": ("hertz", "hertz"),
+    "GB": ("gigabyte", "gigabytes"), "MB": ("megabyte", "megabytes"),
+    "KB": ("kilobyte", "kilobytes"), "TB": ("terabyte", "terabytes"),
+    "km": ("kilometer", "kilometers"), "cm": ("centimeter", "centimeters"),
+    "mm": ("millimeter", "millimeters"), "kg": ("kilogram", "kilograms"),
+    "mg": ("milligram", "milligrams"), "ml": ("milliliter", "milliliters"),
+    "lbs": ("pounds", "pounds"), "lb": ("pound", "pounds"),
+    "oz": ("ounce", "ounces"), "ft": ("foot", "feet"),
+    "mi": ("mile", "miles"), "ms": ("millisecond", "milliseconds"),
+}
+_UNIT_RX = re.compile(
+    r"(\d[\d,.]*)\s*(" + "|".join(sorted(map(re.escape, _UNITS),
+                                         key=len, reverse=True))
+    + r")(?![A-Za-z])")
+
+# simple fractions between two small numbers ("3/4" -> "three quarters");
+# three-part dates (3/4/2020) are excluded by the look-arounds
+_FRACTION = re.compile(r"(?<![\d/.])(\d{1,2})/(\d{1,2})(?![\d/.])")
+_FRACTION_DEN = {2: ("half", "halves"), 3: ("third", "thirds"),
+                 4: ("quarter", "quarters")}
+
+# digit-digit ranges read as "to" ("2-3 weeks", "1914-1918")
+_RANGE = re.compile(r"(?<=\d)\s*[-–]\s*(?=\d)")
+
+# four-digit years after a year-selecting word read in two-pair style
+# ("in 1984" -> "in nineteen eighty four"); bare numbers elsewhere keep
+# the cardinal reading
+_YEAR = re.compile(
+    r"\b((?:[Ii]n|[Bb]y|[Ss]ince|[Uu]ntil|[Ff]rom|[Oo]f|[Dd]uring|"
+    r"[Aa]round|[Yy]ear|[Ll]ate|[Ee]arly|[Mm]id)[\s-])"
+    r"((?:1[1-9]|20)\d\d)\b")
+
+# Roman numerals after a capitalized word ("Henry VIII", "World War II",
+# "Chapter IV") read as numbers; lone "I" stays the pronoun
+_ROMAN_EN = re.compile(r"\b([A-Z][a-zA-Z]+)\s+(X{0,3}(?:IX|IV|V?I{1,3}|V|X))\b")
+_ROMAN_VALUES = {"I": 1, "V": 5, "X": 10}
+
+
+def _roman_value(s: str) -> int:
+    total = 0
+    for i, c in enumerate(s):
+        v = _ROMAN_VALUES[c]
+        total += -v if i + 1 < len(s) and _ROMAN_VALUES[s[i + 1]] > v else v
+    return total
+
+
+def _read_year(n: int) -> str:
+    h, r = divmod(n, 100)
+    if n % 1000 == 0 or (h == 20 and 0 < r < 10):
+        return number_to_words(n)      # 2000, 2005 ("two thousand five")
+    out = number_to_words(h)
+    if r == 0:
+        out += " hundred"              # 1900 "nineteen hundred"
+    elif r < 10:
+        out += " owe " + number_to_words(r)  # 1906 "nineteen oh six"
+    else:
+        out += " " + number_to_words(r)      # 1984 "nineteen eighty four"
+    return out
+
+
+def _read_fraction(m: "re.Match") -> str:
+    num, den = int(m.group(1)), int(m.group(2))
+    if den in _FRACTION_DEN and 0 < num:
+        d = _FRACTION_DEN[den][0 if num == 1 else 1]
+        return number_to_words(num) + " " + d
+    return number_to_words(num) + " over " + number_to_words(den)
+
 
 def _normalize_english(text: str) -> str:
     """espeak-style readings for times, ordinals, dotted abbreviations and
@@ -419,6 +505,17 @@ def _normalize_english(text: str) -> str:
     text = _HOUR_AMPM.sub(
         lambda m: number_to_words(int(m.group(1))) + " "
         + spell_out(m.group(2) + "m"),
+        text)
+    text = _ROMAN_EN.sub(
+        lambda m: m.group(0) if m.group(2) == "I"
+        else m.group(1) + " " + number_to_words(_roman_value(m.group(2))),
+        text)
+    text = _YEAR.sub(lambda m: m.group(1) + _read_year(int(m.group(2))), text)
+    text = _RANGE.sub(" to ", text)
+    text = _FRACTION.sub(_read_fraction, text)
+    text = _UNIT_RX.sub(
+        lambda m: m.group(1) + " "
+        + _UNITS[m.group(2)][0 if m.group(1) == "1" else 1],
         text)
     text = _DOTTED_ABBREV.sub(
         lambda m: spell_out(re.sub(r"\.", "", m.group(0))), text)
