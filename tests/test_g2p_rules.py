@@ -444,3 +444,23 @@ def test_french_liaison():
     # 81 must not become *quatre-vingt-t-un
     got = phonemize_rules("81", "fr")
     assert "vɛ̃tˈœ̃" not in got.replace(" ", "")
+
+
+def test_metric_units_read_in_rule_languages():
+    """espeak reads '5 km' as 'five kilometers' in every language; the
+    symbols.py unit table covers the metric set with count inflection
+    (Slavic singular/paucal/genitive-plural; fi partitive)."""
+    assert pr_contains("5 km", "es", "kilˈometɾos")
+    assert pr_contains("1 km", "es", "kilˈometɾo")
+    assert pr_contains("5 km", "de", "kˈiːloːmeːtɐ")
+    assert pr_contains("2 kg", "it", "kiloɡrˈammi")
+    assert pr_contains("5 km", "ru", "kilɐmˈetrɐv")
+    assert pr_contains("21 km", "ru", "kilɐmˈetr")  # 21 -> singular
+    assert pr_contains("2 kg", "uk", "kilɔɦrˈamɪ")    # paucal
+    from toucan_tpu.frontend.symbols import expand_symbols
+    assert expand_symbols("2 $", "ru").strip() == "2 доллара"
+    assert expand_symbols("5 $", "ru").strip() == "5 долларов"
+    assert expand_symbols("1 $", "ru").strip() == "1 доллар"
+    assert expand_symbols("2°C", "pl").strip() == "2 stopnie Celsjusza"
+    assert "χιλιόμετρα" in expand_symbols("5 km", "el")
+    assert "kilometriä" in expand_symbols("5 km", "fi")

@@ -576,6 +576,14 @@ _RU_STRESS = {
     "часов": 1, "часа": 1, "минута": 1, "минуты": 1, "минут": 1,
     "секунда": 1, "секунды": 1, "секунд": 1, "рублей": 1, "рубля": 1,
     "копеек": 1, "евро": 0, "доллара": 0, "процента": 1, "градуса": 0,
+    "доллар": 0, "процент": 1, "градус": 0, "цельсия": 0,
+    # metric units (symbols.py expansion: "5 km" -> "пять километров")
+    "километр": 2, "километра": 2, "километров": 2,
+    "сантиметр": 2, "сантиметра": 2, "сантиметров": 2,
+    "миллиметр": 2, "миллиметра": 2, "миллиметров": 2,
+    "килограмм": 2, "килограмма": 2, "килограммов": 2,
+    "миллиграмм": 2, "миллиграмма": 2, "миллиграммов": 2,
+    "миллилитр": 2, "миллилитра": 2, "миллилитров": 2,
     "миллион": 2, "миллиона": 2, "миллионов": 2, "миллиард": 2,
     "миллиарда": 2, "миллиардов": 2, "тысячу": 0, "половина": 2,
     # frequent polysyllables
@@ -666,6 +674,15 @@ _UK_STRESS = {
     "шістсот": 1, "сімсот": 1, "вісімсот": 2, "девятсот": 2,
     "тисяча": 0, "тисячі": 0, "тисяч": 0, "одна": 1, "дві": 0,
     "кома": 0, "відсотків": 1, "доларів": 0, "градусів": 0,
+    "долар": 0, "долари": 0, "відсоток": 1, "відсотки": 1,
+    "градус": 0, "градуси": 0, "цельсія": 0,
+    # metric units (symbols.py expansion)
+    "кілометр": 2, "кілометри": 2, "кілометрів": 2,
+    "сантиметр": 2, "сантиметри": 2, "сантиметрів": 2,
+    "міліметр": 2, "міліметри": 2, "міліметрів": 2,
+    "кілограм": 2, "кілограми": 2, "кілограмів": 2,
+    "міліграм": 2, "міліграми": 2, "міліграмів": 2,
+    "мілілітр": 2, "мілілітри": 2, "мілілітрів": 2,
     "мене": 1, "тебе": 1, "себе": 1, "вона": 1, "вони": 1, "воно": 1,
     "тільки": 0, "коли": 1, "якщо": 1, "його": 1, "її": 1,
     # months (genitive: "1-го травня"; keys apostrophe-stripped)

@@ -39,12 +39,17 @@ _WORDS = {
            "°": ("grau", "graus"), "&": "e", "+": "mais"},
     "nl": {"%": "procent", "$": "dollar", "€": "euro", "£": "pond",
            "°": ("graad", "graden"), "&": "en", "+": "plus"},
-    "pl": {"%": "procent", "$": "dolarów", "€": "euro", "£": "funtów",
-           "°": "stopni", "&": "i", "+": "plus"},
-    "ru": {"%": "процентов", "$": "долларов", "€": "евро",
-           "£": "фунтов", "°": "градусов", "&": "и", "+": "плюс"},
-    "uk": {"%": "відсотків", "$": "доларів", "€": "євро",
-           "£": "фунтів", "°": "градусів", "&": "і", "+": "плюс"},
+    "pl": {"%": "procent", "$": ("dolar", "dolary", "dolarów"),
+           "€": "euro", "£": ("funt", "funty", "funtów"),
+           "°": ("stopień", "stopnie", "stopni"), "&": "i", "+": "plus"},
+    "ru": {"%": ("процент", "процента", "процентов"),
+           "$": ("доллар", "доллара", "долларов"), "€": "евро",
+           "£": ("фунт", "фунта", "фунтов"),
+           "°": ("градус", "градуса", "градусов"), "&": "и", "+": "плюс"},
+    "uk": {"%": ("відсоток", "відсотки", "відсотків"),
+           "$": ("долар", "долари", "доларів"), "€": "євро",
+           "£": ("фунт", "фунти", "фунтів"),
+           "°": ("градус", "градуси", "градусів"), "&": "і", "+": "плюс"},
     "fi": {"%": "prosenttia", "$": "dollaria", "€": "euroa",
            "£": "puntaa", "°": "astetta", "&": "ja", "+": "plus"},
     "hu": {"%": "százalék", "$": "dollár", "€": "euró", "£": "font",
@@ -58,17 +63,109 @@ _WORDS = {
 }
 _WORDS["pt-br"] = _WORDS["pt"]
 
+# metric units after a numeral ("5 km" -> "5 kilómetros"); English is
+# handled in g2p_en.py (imperial + tech units there).  Forms: str =
+# invariant, 2-tuple = (singular, plural), 3-tuple = Slavic
+# (singular, paucal 2-4, genitive plural 5+).
+_UNIT_WORDS = {
+    "es": {"km": ("kilómetro", "kilómetros"),
+           "cm": ("centímetro", "centímetros"),
+           "mm": ("milímetro", "milímetros"),
+           "kg": ("kilogramo", "kilogramos"),
+           "mg": ("miligramo", "miligramos"),
+           "ml": ("mililitro", "mililitros")},
+    "de": {"km": "Kilometer", "cm": "Zentimeter", "mm": "Millimeter",
+           "kg": "Kilogramm", "mg": "Milligramm", "ml": "Milliliter"},
+    "fr": {"km": ("kilomètre", "kilomètres"),
+           "cm": ("centimètre", "centimètres"),
+           "mm": ("millimètre", "millimètres"),
+           "kg": ("kilogramme", "kilogrammes"),
+           "mg": ("milligramme", "milligrammes"),
+           "ml": ("millilitre", "millilitres")},
+    "it": {"km": ("chilometro", "chilometri"),
+           "cm": ("centimetro", "centimetri"),
+           "mm": ("millimetro", "millimetri"),
+           "kg": ("chilogrammo", "chilogrammi"),
+           "mg": ("milligrammo", "milligrammi"),
+           "ml": ("millilitro", "millilitri")},
+    "pt": {"km": ("quilómetro", "quilómetros"),
+           "cm": ("centímetro", "centímetros"),
+           "mm": ("milímetro", "milímetros"),
+           "kg": ("quilograma", "quilogramas"),
+           "mg": ("miligrama", "miligramas"),
+           "ml": ("mililitro", "mililitros")},
+    "pt-br": {"km": ("quilômetro", "quilômetros"),
+              "cm": ("centímetro", "centímetros"),
+              "mm": ("milímetro", "milímetros"),
+              "kg": ("quilograma", "quilogramas"),
+              "mg": ("miligrama", "miligramas"),
+              "ml": ("mililitro", "mililitros")},
+    "nl": {"km": "kilometer", "cm": "centimeter", "mm": "millimeter",
+           "kg": "kilogram", "mg": "milligram", "ml": "milliliter"},
+    "pl": {"km": ("kilometr", "kilometry", "kilometrów"),
+           "cm": ("centymetr", "centymetry", "centymetrów"),
+           "mm": ("milimetr", "milimetry", "milimetrów"),
+           "kg": ("kilogram", "kilogramy", "kilogramów"),
+           "mg": ("miligram", "miligramy", "miligramów"),
+           "ml": ("mililitr", "mililitry", "mililitrów")},
+    "ru": {"km": ("километр", "километра", "километров"),
+           "cm": ("сантиметр", "сантиметра", "сантиметров"),
+           "mm": ("миллиметр", "миллиметра", "миллиметров"),
+           "kg": ("килограмм", "килограмма", "килограммов"),
+           "mg": ("миллиграмм", "миллиграмма", "миллиграммов"),
+           "ml": ("миллилитр", "миллилитра", "миллилитров")},
+    "uk": {"km": ("кілометр", "кілометри", "кілометрів"),
+           "cm": ("сантиметр", "сантиметри", "сантиметрів"),
+           "mm": ("міліметр", "міліметри", "міліметрів"),
+           "kg": ("кілограм", "кілограми", "кілограмів"),
+           "mg": ("міліграм", "міліграми", "міліграмів"),
+           "ml": ("мілілітр", "мілілітри", "мілілітрів")},
+    "fi": {"km": ("kilometri", "kilometriä"),
+           "cm": ("senttimetri", "senttimetriä"),
+           "mm": ("millimetri", "millimetriä"),
+           "kg": ("kilogramma", "kilogrammaa"),
+           "mg": ("milligramma", "milligrammaa"),
+           "ml": ("millilitra", "millilitraa")},
+    "hu": {"km": "kilométer", "cm": "centiméter", "mm": "milliméter",
+           "kg": "kilogramm", "mg": "milligramm", "ml": "milliliter"},
+    "el": {"km": ("χιλιόμετρο", "χιλιόμετρα"),
+           "cm": ("εκατοστό", "εκατοστά"),
+           "mm": ("χιλιοστό", "χιλιοστά"),
+           "kg": ("κιλό", "κιλά")},
+    "vi": {"km": "ki lô mét", "cm": "xăng ti mét", "mm": "mi li mét",
+           "kg": "ki lô gam", "mg": "mi li gam", "ml": "mi li lít"},
+    "fa": {"km": "کیلومتر", "cm": "سانتی متر", "mm": "میلی متر",
+           "kg": "کیلوگرم", "mg": "میلی گرم", "ml": "میلی لیتر"},
+}
+
+_UNIT_RX = re.compile(r"(\d+(?:[.,]\d+)?)\s?(km|cm|mm|kg|mg|ml)(?![\w])")
+
 _CURRENCY = "€$£"
 _DEGREE_SCALE = {"C": {"en": "Celsius", "de": "Celsius", "fr": "Celsius",
-                       "es": "Celsius", "default": "Celsius"},
-                 "F": {"default": "Fahrenheit"}}
+                       "es": "Celsius", "ru": "Цельсия", "uk": "Цельсія",
+                       "pl": "Celsjusza", "el": "Κελσίου",
+                       "fa": "سلسیوس", "default": "Celsius"},
+                 "F": {"ru": "Фаренгейта", "uk": "Фаренгейта",
+                       "pl": "Fahrenheita", "default": "Fahrenheit"}}
+
+
+def _count_form(w, n: int | None):
+    """Pick the inflected form for count ``n`` (None = unknown/decimal)."""
+    if not isinstance(w, tuple):
+        return w
+    if len(w) == 3:  # Slavic: singular / paucal 2-4 / genitive plural
+        if n is None:
+            return w[2]
+        if n % 10 == 1 and n % 100 != 11:
+            return w[0]
+        if n % 10 in (2, 3, 4) and n % 100 not in (12, 13, 14):
+            return w[1]
+        return w[2]
+    return w[0] if n == 1 else w[1]
 
 
 def _form(words, sym: str, n: int | None):
-    w = words[sym]
-    if isinstance(w, tuple):
-        return w[0] if n == 1 else w[1]
-    return w
+    return _count_form(words[sym], n)
 
 
 def expand_symbols(text: str, lang: str) -> str:
@@ -114,6 +211,14 @@ def expand_symbols(text: str, lang: str) -> str:
         return f"{m.group(1)} {_form(words, '%', num_of(m.group(1)))}"
 
     text = re.sub(r"(\d+(?:[.,]\d+)?)\s?%", percent, text)
+
+    # 5 km / 10kg -> "5 kilómetros" (inflected by count)
+    units = _UNIT_WORDS.get(lang)
+    if units:
+        text = _UNIT_RX.sub(
+            lambda m: f"{m.group(1)} {_count_form(units[m.group(2)], num_of(m.group(1)))}"
+            if m.group(2) in units else m.group(0),
+            text)
     for sym in "%&+" + _CURRENCY:
         if sym in text:
             text = text.replace(sym, f" {_form(words, sym, None)} ")
