@@ -464,3 +464,22 @@ def test_metric_units_read_in_rule_languages():
     assert expand_symbols("2°C", "pl").strip() == "2 stopnie Celsjusza"
     assert "χιλιόμετρα" in expand_symbols("5 km", "el")
     assert "kilometriä" in expand_symbols("5 km", "fi")
+
+
+def test_unit_numeral_apocope():
+    """Counts ending in 1 apocopate before the unit noun in es/de/it
+    ("1 km" -> un kilómetro, "21 km" -> veintiún kilómetros, de "ein
+    Kilometer", it "un chilometro"); other languages keep the plain
+    numeral word."""
+    from toucan_tpu.frontend.symbols import expand_symbols
+    assert expand_symbols("1 km", "es").strip() == "un kilómetro"
+    assert expand_symbols("21 km", "es").strip() == "veintiún kilómetros"
+    assert expand_symbols("31 kg", "es").strip() == "treinta y un kilogramos"
+    assert expand_symbols("1 km", "de").strip() == "ein Kilometer"
+    assert expand_symbols("1 km", "it").strip() == "un chilometro"
+    assert expand_symbols("1 km", "fr").strip() == "1 kilomètre"
+    # apocope applies to currencies and degrees too
+    assert expand_symbols("1 $", "es").strip() == "un dólar"
+    assert expand_symbols("$21", "es").strip() == "veintiún dólares"
+    assert expand_symbols("$1", "de").strip() == "ein Dollar"
+    assert expand_symbols("1°", "it").strip() == "un grado"

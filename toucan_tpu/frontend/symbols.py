@@ -168,6 +168,25 @@ def _form(words, sym: str, n: int | None):
     return _count_form(words[sym], n)
 
 
+def _apocope_amount(amount: str, n: int | None, lang: str) -> str:
+    """Word a count ending in 1 before a noun in es/de/it ("un kilómetro",
+    "veintiún dólares", "ein Dollar") — the later digit->word pass cannot
+    see the following noun, so these counts are worded here."""
+    if lang not in ("es", "de", "it") or n is None \
+            or n % 10 != 1 or n % 100 == 11:
+        return amount
+    from toucan_tpu.frontend.numbers import number_to_words
+    words = number_to_words(n, lang)
+    if lang == "es":
+        # compound "veintiuno" -> "veintiún" (written accent);
+        # free-standing "uno" / "treinta y uno" -> "un"
+        words = re.sub(r"(\w)uno$", r"\1ún", words)
+        words = re.sub(r"(^| )uno$", r"\1un", words)
+    elif words in ("eins", "uno"):
+        words = {"de": "ein", "it": "un"}[lang]
+    return words
+
+
 def expand_symbols(text: str, lang: str) -> str:
     """Rewrite %, currency and degree signs into words for ``lang``;
     unknown languages return the text unchanged."""
@@ -184,21 +203,25 @@ def expand_symbols(text: str, lang: str) -> str:
     # $5 / €20 / £3 (sign before amount) -> "5 dollars"
     def pre_currency(m):
         sym, amount = m.group(1), m.group(2)
-        return f"{amount} {_form(words, sym, num_of(amount))}"
+        n = num_of(amount)
+        return f"{_apocope_amount(amount, n, lang)} {_form(words, sym, n)}"
 
     text = re.sub(r"([€$£])\s?(\d+(?:[.,]\d+)?)", pre_currency, text)
 
     # 20€ (amount before sign)
     def post_currency(m):
         amount, sym = m.group(1), m.group(2)
-        return f"{amount} {_form(words, sym, num_of(amount))}"
+        n = num_of(amount)
+        return f"{_apocope_amount(amount, n, lang)} {_form(words, sym, n)}"
 
     text = re.sub(r"(\d+(?:[.,]\d+)?)\s?([€$£])", post_currency, text)
 
     # 20°C / 20° -> "20 degrees Celsius" / "20 degrees"
     def degrees(m):
         amount, scale = m.group(1), m.group(2)
-        deg = _form(words, "°", num_of(amount))
+        n = num_of(amount)
+        deg = _form(words, "°", n)
+        amount = _apocope_amount(amount, n, lang)
         if scale:
             table = _DEGREE_SCALE.get(scale.upper(), {})
             return f"{amount} {deg} {table.get(lang, table.get('default', scale))}"
@@ -215,10 +238,14 @@ def expand_symbols(text: str, lang: str) -> str:
     # 5 km / 10kg -> "5 kilómetros" (inflected by count)
     units = _UNIT_WORDS.get(lang)
     if units:
-        text = _UNIT_RX.sub(
-            lambda m: f"{m.group(1)} {_count_form(units[m.group(2)], num_of(m.group(1)))}"
-            if m.group(2) in units else m.group(0),
-            text)
+        def unit_sub(m):
+            if m.group(2) not in units:
+                return m.group(0)
+            n = num_of(m.group(1))
+            amount = _apocope_amount(m.group(1), n, lang)
+            return f"{amount} {_count_form(units[m.group(2)], n)}"
+
+        text = _UNIT_RX.sub(unit_sub, text)
     for sym in "%&+" + _CURRENCY:
         if sym in text:
             text = text.replace(sym, f" {_form(words, sym, None)} ")
