@@ -452,7 +452,7 @@ def test_metric_units_read_in_rule_languages():
     (Slavic singular/paucal/genitive-plural; fi partitive)."""
     assert pr_contains("5 km", "es", "kilˈometɾos")
     assert pr_contains("1 km", "es", "kilˈometɾo")
-    assert pr_contains("5 km", "de", "kˈiːloːmeːtɐ")
+    assert pr_contains("5 km", "de", "kiloːmˈeːtɐ")
     assert pr_contains("2 kg", "it", "kiloɡrˈammi")
     assert pr_contains("5 km", "ru", "kilɐmˈetrɐv")
     assert pr_contains("21 km", "ru", "kilɐmˈetr")  # 21 -> singular

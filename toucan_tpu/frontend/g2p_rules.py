@@ -120,6 +120,8 @@ def _vowel_runs(ipa: str) -> List[int]:
 
 
 def _insert_stress(ipa: str, run_index: int) -> str:
+    if PRIMARY_STRESS in ipa:  # lexicon entries may carry their own mark
+        return ipa
     runs = _vowel_runs(ipa)
     if not runs:
         return ipa
@@ -444,6 +446,12 @@ _NL_DIGITS = ["nul", "een", "twee", "drie", "vier", "vijf", "zes", "zeven",
 
 # high-frequency function words whose vowels the length rule would get wrong
 _DE_LEXICON = {
+    # loanword stress (the first-syllable default misfires on these;
+    # unit words surface via symbols.py's "5 km" expansion)
+    "kilometer": "kiloːmˈeːtɐ", "zentimeter": "tsɛntimˈeːtɐ",
+    "millimeter": "milimˈeːtɐ", "kilogramm": "kiloːɡʁˈam",
+    "milligramm": "mɪliɡʁˈam", "milliliter": "mɪlilˈiːtɐ",
+    "prozent": "pʁotsˈɛnt", "celsius": "tsˈɛlziʊs",
     "das": "das", "was": "vas", "es": "ɛs", "des": "dɛs", "dass": "das",
     "daß": "das", "in": "ɪn", "im": "ɪm", "an": "an", "am": "am",
     "um": "ʊm", "zum": "tsʊm", "von": "fɔn", "vom": "fɔm", "mit": "mɪt",
