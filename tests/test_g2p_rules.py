@@ -483,3 +483,27 @@ def test_unit_numeral_apocope():
     assert expand_symbols("$21", "es").strip() == "veintiún dólares"
     assert expand_symbols("$1", "de").strip() == "ein Dollar"
     assert expand_symbols("1°", "it").strip() == "un grado"
+
+
+def test_german_unstressed_prefixes_and_loanwords():
+    """German be-/ge-/er-/ver-/zer-/ent-/emp- prefixes never take stress,
+    be-/ge- reduce to schwa, and a stem-initial st/sp after the prefix
+    reads ʃ (verstehen = fɛʁʃtˈeːən); Latinate loans carry lexicon
+    stress.  Stem lookalikes (geben, besser, erste) keep initial stress."""
+    cases = {
+        "bekommen": "bəkˈɔmən", "Geschichte": "ɡəʃˈɪçtə",
+        "verstehen": "fɛʁʃtˈeːən", "bestimmt": "bəʃtˈɪmt",
+        "Entscheidung": "ɛntʃˈaɪdʊŋ", "erzählen": "ɛʁtsˈɛːlən",
+        "empfehlen": "ɛmpfˈeːlən", "zerstören": "tsɛʁʃtˈøːʁən",
+        "gemacht": "ɡəmˈaxt",
+        # stem lookalikes
+        "geben": "ɡˈeːbən", "besser": "bˈɛsɐ", "beste": "bˈɛstə",
+        "gestern": "ɡˈɛstɛʁn", "erste": "ˈɛʁstə", "Ente": "ˈɛntə",
+        "entweder": "ˈɛntveːdɐ",
+        # Latinate loans
+        "Musik": "muzˈiːk", "Minute": "minˈuːtə", "warum": "vaʁˈʊm",
+        "vielleicht": "filˈaɪçt", "Beispiel": "bˈaɪʃpiːl",
+    }
+    for w, want in cases.items():
+        got = phonemize_rules(w, "de").strip()
+        assert got == want, f"{w}: {got!r} != {want!r}"

@@ -30,9 +30,13 @@ Quality notes (documented approximations):
   EP additionally models unstressed-vowel reduction (a->ɐ, o->u, e->ɨ),
   pre-consonant s -> ʃ/ʒ, and final e -> ɨ; BR keeps full pretonic
   vowels with final-vowel reduction only.
-* de: stress falls on the first syllable (common case); separable-prefix
-  stress shifts are not modeled.  Vowel length follows the open/closed
-  syllable rule plus a function-word lexicon.
+* de: stress falls on the first syllable (common case); the unstressed
+  prefixes be-/ge-/er-/ver-/zer-/ent-/emp- shift stress to the stem
+  (with schwa reduction and morpheme-initial ʃt/ʃp), and Latinate
+  loans carry lexicon stress.  Separable-prefix (stressed) verbs like
+  "aufstehen" still follow the first-syllable default, which is correct
+  for them.  Vowel length follows the open/closed syllable rule plus a
+  function-word lexicon.
 * fa: Persian script leaves short vowels unwritten, so rules alone cannot
   recover them — a frequent-word lexicon carries the correct vowels and
   everything else gets the consonant skeleton with epenthetic /æ/
@@ -130,6 +134,47 @@ def _insert_stress(ipa: str, run_index: int) -> str:
 
 
 def stress_initial(word: str, ipa: str) -> str:
+    return _insert_stress(ipa, 0)
+
+
+# German unstressed verbal/nominal prefixes: the prefix vowel never takes
+# stress and be-/ge- reduce to schwa (bekommen = bəkˈɔmən, Geschichte =
+# ɡəʃˈɪçtə); a stem-initial st/sp after the prefix is the morpheme onset
+# and reads ʃt/ʃp (verstehen = fɛʁʃtˈeːən) just like word-initially.
+_DE_PREFIX_IPA = {"be": ("beː", "bɛ"), "ge": ("ɡeː", "ɡɛ"), "er": ("ɛʁ",),
+                  "ver": ("fɛʁ",), "zer": ("tsɛʁ",), "ent": ("ɛnt",),
+                  "emp": ("ɛmp",)}
+_DE_PREFIX_EXCEPTIONS = {  # stem-initial lookalikes keep initial stress
+    "geben", "gegen", "gehen", "gern", "gerne", "geld", "gelb",
+    "gestern", "geste", "gesten", "gelten", "geist", "geister", "geige",
+    "beten", "betet", "besen", "beben", "beste", "besten", "bester",
+    "bestes", "bestens", "erste", "ersten", "erster", "erstes", "ernst",
+    "erbe", "erben", "erde", "erden", "ernte", "ernten",
+    "entweder", "ente", "enten", "erzen", "erzes",
+}
+_DE_VOWELS = set("aeiouäöüy")
+
+
+def stress_german(word: str, ipa: str) -> str:
+    w = word.lower()
+    for p, realizations in _DE_PREFIX_IPA.items():
+        stem = w[len(p):]
+        p_ipa = next((r for r in realizations if ipa.startswith(r)), None)
+        if (w.startswith(p) and len(stem) >= 3
+                and stem[0] not in _DE_VOWELS
+                and stem[0] != stem[1:2]          # besser/betten: stem tt/ss
+                and w not in _DE_PREFIX_EXCEPTIONS
+                and p_ipa is not None):
+            rest = ipa[len(p_ipa):]
+            if stem[:2] in ("st", "sp") and rest.startswith("s"):
+                rest = "ʃ" + rest[1:]
+            if p == "be":
+                p_ipa = "bə"
+            elif p == "ge":
+                p_ipa = "ɡə"
+            return p_ipa + _insert_stress(rest, 0)
+        if w.startswith(p):
+            break  # prefix spelled but conditions failed: initial stress
     return _insert_stress(ipa, 0)
 
 
@@ -452,6 +497,19 @@ _DE_LEXICON = {
     "millimeter": "milimˈeːtɐ", "kilogramm": "kiloːɡʁˈam",
     "milligramm": "mɪliɡʁˈam", "milliliter": "mɪlilˈiːtɐ",
     "prozent": "pʁotsˈɛnt", "celsius": "tsˈɛlziʊs",
+    # Latinate loans stress the final/penult syllable, not the first
+    "musik": "muzˈiːk", "natur": "natˈuːʁ", "minute": "minˈuːtə",
+    "minuten": "minˈuːtən", "sekunde": "zekˈʊndə", "sekunden": "zekˈʊndən",
+    "familie": "famˈiːliə", "universität": "ʊnivɛʁzitˈɛːt",
+    "politik": "politˈiːk", "student": "ʃtudˈɛnt",
+    "studenten": "ʃtudˈɛntən", "kultur": "kʊltˈuːʁ",
+    "person": "pɛʁzˈoːn", "personen": "pɛʁzˈoːnən",
+    "problem": "pʁoblˈeːm", "probleme": "pʁoblˈeːmə",
+    "interesse": "ɪntəʁˈɛsə", "idee": "idˈeː", "ideen": "idˈeːən",
+    "museum": "muzˈeːʊm", "papier": "papˈiːʁ", "partei": "paʁtˈaɪ",
+    "natürlich": "natˈyːʁlɪç", "vielleicht": "filˈaɪçt",
+    "warum": "vaʁˈʊm", "zurück": "tsuʁˈʏk", "zusammen": "tsuzˈamən",
+    "beispiel": "bˈaɪʃpiːl", "beispiele": "bˈaɪʃpiːlə",
     "das": "das", "was": "vas", "es": "ɛs", "des": "dɛs", "dass": "das",
     "daß": "das", "in": "ɪn", "im": "ɪm", "an": "an", "am": "am",
     "um": "ʊm", "zum": "tsʊm", "von": "fɔn", "vom": "fɔm", "mit": "mɪt",
@@ -1369,7 +1427,7 @@ def _language(lang: str) -> Language:
         "hu": (_HU_RULES, stress_initial, _HU_DIGITS, {}),
         "pl": (_PL_RULES, stress_penult, _PL_DIGITS, {}),
         "nl": (_NL_RULES, stress_initial, _NL_DIGITS, {}),
-        "de": (_DE_RULES, stress_initial, _DE_DIGITS, _DE_LEXICON),
+        "de": (_DE_RULES, stress_german, _DE_DIGITS, _DE_LEXICON),
         "ru": (_RU_RULES, stress_russian, _RU_DIGITS, _RU_LEXICON),
         "uk": (_UK_RULES, stress_ukrainian, _UK_DIGITS, {}),
         "pt": (_PT_EU_RULES, stress_portuguese_eu, _PT_DIGITS, _PT_EU_LEXICON),
