@@ -507,3 +507,19 @@ def test_german_unstressed_prefixes_and_loanwords():
     for w, want in cases.items():
         got = phonemize_rules(w, "de").strip()
         assert got == want, f"{w}: {got!r} != {want!r}"
+
+
+def test_dutch_unstressed_prefixes():
+    """Dutch shares the Germanic unstressed-prefix system: be-/ge-/ver-
+    reduce to schwa and stress shifts to the stem; stem lookalikes
+    (geven, beter, verder) keep initial stress."""
+    cases = {
+        "begrijpen": "bəɣrˈɛipən", "gezellig": "ɣəzˈɛllɪx",
+        "verstaan": "vərstˈaːn", "ontbijt": "ɔntbˈɛit",
+        "gekomen": "ɣəkˈoːmən", "herhalen": "ɦɛrɦˈaːlən",
+        "geven": "ɣˈeːvən", "beter": "bˈeːtər", "verder": "vˈɛrdər",
+        "ergens": "ˈɛrɣɛns", "herfst": "ɦˈɛrfst",
+    }
+    for w, want in cases.items():
+        got = phonemize_rules(w, "nl").strip()
+        assert got == want, f"{w}: {got!r} != {want!r}"

@@ -154,28 +154,51 @@ _DE_PREFIX_EXCEPTIONS = {  # stem-initial lookalikes keep initial stress
 }
 _DE_VOWELS = set("aeiouäöüy")
 
+# Dutch shares the Germanic unstressed-prefix system (begrijpen =
+# bəɣrˈɛipən, verstaan = vərstˈaːn); be-/ge-/ver- reduce to schwa
+_NL_PREFIX_IPA = {"be": ("beː", "bɛ"), "ge": ("ɣeː", "ɣɛ"),
+                  "ver": ("vɛr",), "ont": ("ɔnt",), "her": ("ɦɛr",),
+                  "er": ("ɛr",)}
+_NL_PREFIX_EXCEPTIONS = {
+    "beter", "betere", "beste", "besten", "bezem", "beker", "bekers",
+    "geven", "gevel", "gevels", "gerst", "gelden", "geldig",
+    "verder", "verdere", "vers", "verse", "ergens", "herfst",
+    "hersenen", "herten",
+}
+_NL_PREFIX_SCHWA = {"be": "bə", "ge": "ɣə", "ver": "vər"}
+_DE_PREFIX_SCHWA = {"be": "bə", "ge": "ɡə"}
 
-def stress_german(word: str, ipa: str) -> str:
-    w = word.lower()
-    for p, realizations in _DE_PREFIX_IPA.items():
-        stem = w[len(p):]
-        p_ipa = next((r for r in realizations if ipa.startswith(r)), None)
-        if (w.startswith(p) and len(stem) >= 3
-                and stem[0] not in _DE_VOWELS
-                and stem[0] != stem[1:2]          # besser/betten: stem tt/ss
-                and w not in _DE_PREFIX_EXCEPTIONS
-                and p_ipa is not None):
-            rest = ipa[len(p_ipa):]
-            if stem[:2] in ("st", "sp") and rest.startswith("s"):
-                rest = "ʃ" + rest[1:]
-            if p == "be":
-                p_ipa = "bə"
-            elif p == "ge":
-                p_ipa = "ɡə"
-            return p_ipa + _insert_stress(rest, 0)
-        if w.startswith(p):
+
+def _prefix_stress(prefix_ipa, exceptions, schwa, st_sp_sh):
+    """Stress function for Germanic languages with unstressed verbal
+    prefixes: the stem takes the stress, be-/ge-(/ver-) reduce to schwa,
+    and (German) a stem-initial st/sp reads ʃ as at word start."""
+    def stress(word: str, ipa: str) -> str:
+        w = word.lower()
+        for p, realizations in prefix_ipa.items():
+            if not w.startswith(p):
+                continue
+            stem = w[len(p):]
+            p_ipa = next((r for r in realizations if ipa.startswith(r)),
+                         None)
+            if (len(stem) >= 3 and stem[0] not in _DE_VOWELS
+                    and stem[0] != stem[1:2]      # besser/betten: tt/ss
+                    and w not in exceptions
+                    and p_ipa is not None):
+                rest = ipa[len(p_ipa):]
+                if st_sp_sh and stem[:2] in ("st", "sp") \
+                        and rest.startswith("s"):
+                    rest = "ʃ" + rest[1:]
+                return schwa.get(p, p_ipa) + _insert_stress(rest, 0)
             break  # prefix spelled but conditions failed: initial stress
-    return _insert_stress(ipa, 0)
+        return _insert_stress(ipa, 0)
+    return stress
+
+
+stress_german = _prefix_stress(_DE_PREFIX_IPA, _DE_PREFIX_EXCEPTIONS,
+                               _DE_PREFIX_SCHWA, st_sp_sh=True)
+stress_dutch = _prefix_stress(_NL_PREFIX_IPA, _NL_PREFIX_EXCEPTIONS,
+                              _NL_PREFIX_SCHWA, st_sp_sh=False)
 
 
 def stress_penult(word: str, ipa: str) -> str:
@@ -1426,7 +1449,7 @@ def _language(lang: str) -> Language:
         "el": (_EL_RULES, stress_marked_only, _EL_DIGITS, {}),
         "hu": (_HU_RULES, stress_initial, _HU_DIGITS, {}),
         "pl": (_PL_RULES, stress_penult, _PL_DIGITS, {}),
-        "nl": (_NL_RULES, stress_initial, _NL_DIGITS, {}),
+        "nl": (_NL_RULES, stress_dutch, _NL_DIGITS, {}),
         "de": (_DE_RULES, stress_german, _DE_DIGITS, _DE_LEXICON),
         "ru": (_RU_RULES, stress_russian, _RU_DIGITS, _RU_LEXICON),
         "uk": (_UK_RULES, stress_ukrainian, _UK_DIGITS, {}),
