@@ -675,6 +675,16 @@ _RU_STRESS = {
     "миллилитр": 2, "миллилитра": 2, "миллилитров": 2,
     "миллион": 2, "миллиона": 2, "миллионов": 2, "миллиард": 2,
     "миллиарда": 2, "миллиардов": 2, "тысячу": 0, "половина": 2,
+    # frequent polysyllables (late round-4 band: verbs of saying/motion,
+    # body/kinship nouns, geography)
+    "сказал": 1, "сказала": 1, "можно": 0, "нужно": 0, "хороший": 1,
+    "голова": 2, "рука": 1, "глаза": 1, "сердце": 0, "любовь": 1,
+    "дети": 0, "студент": 1, "право": 0, "война": 1, "армия": 0,
+    "народ": 1, "европа": 1, "америка": 1, "больница": 1, "врачи": 1,
+    "доктор": 0, "письмо": 1, "газета": 1, "помнить": 0, "понял": 0,
+    "поняла": 2, "слушать": 0, "увидел": 1, "играть": 1, "начать": 1,
+    "начал": 0, "кончить": 0, "открыть": 1, "закрыть": 1, "купить": 1,
+    "продать": 1, "искать": 1, "найти": 1, "приехал": 1, "сделал": 0,
     # frequent polysyllables
     "государство": 2, "область": 0, "система": 1, "программа": 1,
     "развитие": 1, "решение": 1, "возможность": 1, "компания": 1,
@@ -763,6 +773,10 @@ _UK_STRESS = {
     "шістсот": 1, "сімсот": 1, "вісімсот": 2, "девятсот": 2,
     "тисяча": 0, "тисячі": 0, "тисяч": 0, "одна": 1, "дві": 0,
     "кома": 0, "відсотків": 1, "доларів": 0, "градусів": 0,
+    # frequent polysyllables (late round-4 band)
+    "життя": 1, "можна": 0, "потрібно": 1, "справа": 0, "місце": 0,
+    "книга": 0, "голова": 2, "рука": 1, "очі": 0, "серце": 0,
+    "любов": 1, "діти": 0, "історія": 1, "вночі": 1,
     "долар": 0, "долари": 0, "відсоток": 1, "відсотки": 1,
     "градус": 0, "градуси": 0, "цельсія": 0,
     # metric units (symbols.py expansion)
