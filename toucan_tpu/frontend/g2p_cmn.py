@@ -9,10 +9,13 @@ this image, so this module provides:
   final + tone number) emitting the same IPA-with-register-marks format
   dragonmapper produces (tones 1-4 -> ˥ / ˧˥ / ˧˩˧ / ˥˩, neutral bare),
   restricted to the articulatory inventory;
-* ``hanzi_to_pinyin`` — a built-in reading table for ~570 of the most
-  common characters; unknown characters raise with guidance (install
-  pypinyin, or input pinyin/IPA directly — both are first-class frontend
-  inputs).
+* ``hanzi_to_pinyin`` — a built-in reading table for the ~3,000 most
+  frequent characters (the core band here plus the frequency-ranked
+  extension in ``hanzi_table.py``; together they cover >99.5% of running
+  newswire text).  Unknown characters degrade gracefully: they are
+  skipped with a once-per-character warning instead of crashing synthesis
+  (``strict=True`` restores the raise; pypinyin, when installed, gives
+  full-CJK coverage with polyphone disambiguation).
 
 Digits read as Mandarin numerals (``number_to_pinyin``: 十/百/千/万
 composition with 零 insertion) and standard tone sandhi applies across
@@ -26,6 +29,9 @@ the frontend uses them first and falls back here.
 from __future__ import annotations
 
 import re
+import warnings
+
+_warned_hanzi: set = set()
 
 TONE_MARKS = {"1": "˥", "2": "˧˥", "3": "˧˩˧", "4": "˥˩", "5": "", "0": ""}
 
@@ -372,6 +378,13 @@ HANZI_PINYIN = {
 
 }
 
+# merge the frequency-ranked extension band (single-char keys, validated
+# by tests); the curated core band above wins on any conflict
+from toucan_tpu.frontend.hanzi_table import HANZI_PINYIN_EXT as _EXT
+
+for _ch, _reading in _EXT.items():
+    HANZI_PINYIN.setdefault(_ch, _reading)
+
 _HAN_RX = re.compile(r"[一-鿿]")
 
 
@@ -379,22 +392,34 @@ def has_hanzi(text: str) -> bool:
     return bool(_HAN_RX.search(text))
 
 
-def hanzi_to_pinyin(text: str) -> str:
+def hanzi_to_pinyin(text: str, strict: bool = False) -> str:
     """Character-by-character reading via the built-in table, with the
     morphemic 不/一 tone changes applied in place (this path KNOWS which
     syllable is the morpheme: 不 bu4 -> bu2 before tone 4; 一 yi1 -> yi2
     before tone 4 / yi4 before tones 1-3, except ordinal 第一 and final
     position).  Punctuation passes through (the frontend's pause handling
-    needs it); unknown hanzi raise with guidance."""
+    needs it).
+
+    Unknown hanzi NEVER crash synthesis (the reference reads arbitrary
+    hanzi via pypinyin, ``Preprocessing/TextFrontend.py:486-487``; a
+    frontend that throws on ordinary input would be a capability
+    regression): by default each unknown character is skipped with a
+    once-per-character warning.  ``strict=True`` restores the raising
+    behaviour for callers that want hard coverage guarantees."""
     chars = []  # (hanzi | None, emitted text)
     for ch in text:
         if _HAN_RX.match(ch):
             reading = HANZI_PINYIN.get(ch)
             if reading is None:
-                raise KeyError(
-                    f"no built-in reading for {ch!r} — install pypinyin for "
-                    "full hanzi coverage, or input pinyin "
-                    "(e.g. 'ni3 hao3') or IPA directly")
+                msg = (f"no built-in reading for {ch!r} (U+{ord(ch):04X}) — "
+                       "install pypinyin for full hanzi coverage, or input "
+                       "pinyin (e.g. 'ni3 hao3') or IPA directly")
+                if strict:
+                    raise KeyError(msg)
+                if ch not in _warned_hanzi:
+                    _warned_hanzi.add(ch)
+                    warnings.warn("skipping unreadable hanzi: " + msg)
+                continue  # degrade: drop the character, keep synthesizing
             chars.append((ch, reading))
         else:
             chars.append((None, ch))
