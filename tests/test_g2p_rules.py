@@ -576,3 +576,52 @@ def test_dutch_unstressed_prefixes():
     for w, want in cases.items():
         got = phonemize_rules(w, "nl").strip()
         assert got == want, f"{w}: {got!r} != {want!r}"
+
+
+def test_millions_and_billions_all_languages():
+    """VERDICT r04 missing #2: numbers >= 10^6 read as real words with
+    per-language scale-word morphology (espeak behavior behind
+    ``TextFrontend.py:298``), not digit-by-digit."""
+    from toucan_tpu.frontend.numbers import number_to_words as n2w
+
+    assert n2w(2_500_000, "es") == "dos millones quinientos mil"
+    assert n2w(1_000_000, "es") == "un millón"
+    assert n2w(21_000_000, "es") == "veintiún millones"  # apocope
+    assert n2w(2_500_000_000, "es") == "dos mil quinientos millones"
+    assert n2w(1_000_000, "de") == "eine Million"
+    assert n2w(2_500_000, "de") == "zwei Millionen fünfhunderttausend"
+    assert n2w(3_000_000_000, "de") == "drei Milliarden"
+    # Slavic plural classes: 1 / paucal 2-4 / genitive plural, 11-14 gen
+    assert n2w(1_000_000, "ru") == "один миллион"
+    assert n2w(2_000_000, "ru") == "два миллиона"
+    assert n2w(5_000_000, "ru") == "пять миллионов"
+    assert n2w(12_000_000, "ru") == "двенадцать миллионов"
+    assert n2w(21_000_000, "ru") == "двадцать один миллион"
+    assert n2w(2_000_000, "uk") == "два мільйони"
+    assert n2w(5_000_000, "uk") == "п'ять мільйонів"
+    assert n2w(2_000_000, "pl") == "dwa miliony"
+    assert n2w(5_000_000, "pl") == "pięć milionów"
+    assert n2w(22_000_000, "pl") == "dwadzieścia dwa miliony"
+    assert n2w(1_000_000_000, "fr") == "un milliard"
+    assert n2w(2_000_000, "fr") == "deux millions"
+    assert n2w(21_000_000, "it") == "ventun milioni"  # troncamento
+    assert n2w(2_000_000_000, "it") == "due miliardi"
+    assert n2w(2_500_000, "pt") == "dois milhões e quinhentos mil"
+    assert n2w(2_000_000, "nl") == "twee miljoen"  # invariant
+    assert n2w(1_000_000, "fi") == "miljoona"      # bare nominative
+    assert n2w(2_000_000, "fi") == "kaksi miljoonaa"  # partitive
+    assert n2w(2_000_000, "hu") == "két millió"    # attributive két
+    assert n2w(2_000_000, "el") == "δύο εκατομμύρια"
+    assert n2w(2_500_000, "vi") == "hai triệu năm trăm nghìn"
+    assert n2w(1_000_000_000, "vi") == "một tỷ"
+    assert n2w(2_500_000, "fa") == "دو میلیون و پانصد هزار"
+    assert n2w(999_999_999_999, "es")  # full supported range
+
+    # the G2P path reads them (not digit-by-digit), with loanword stress
+    ipa = phonemize_rules("2500000", "es")
+    assert "miʎˈones" in ipa and "dˈos" in ipa
+    assert "θˈinko" not in ipa  # NOT digit-by-digit
+    de_ipa = phonemize_rules("1000000", "de")
+    assert "mɪliˈoːn" in de_ipa  # Latinate stress, M intact
+    ru_ipa = phonemize_rules("5000000", "ru")
+    assert "millˈion" in ru_ipa  # stressed run, not flat

@@ -229,8 +229,11 @@ def stress_spanish(word: str, ipa: str) -> str:
         else stress_final(word, ipa)
 
 
+_PT_CLITICS = {"e"}  # scale-group conjunction (numbers.py) stays unstressed
+
+
 def stress_portuguese(word: str, ipa: str) -> str:
-    if PRIMARY_STRESS in ipa:
+    if PRIMARY_STRESS in ipa or word in _PT_CLITICS:
         return ipa
     # nasal-diphthong endings (-ão, -ãe, -õe + plurals) are final-stressed
     if re.search(r"(ão|ãe|õe)s?$", word):
@@ -505,6 +508,11 @@ _NL_RULES = [
 _NL_DIGITS = ["nul", "een", "twee", "drie", "vier", "vijf", "zes", "zeven",
               "acht", "negen"]
 
+# Dutch loanword stress exceptions (initial-stress default misfires)
+_NL_LEXICON = {
+    "miljoen": "mɪljˈun", "miljard": "mɪljˈɑrt",
+}
+
 # ---------------------------------------------------------------------------
 # German (approximation; initial stress).  Vowel length: a stressed vowel
 # before a single consonant + vowel/end is long (Name, gut, rot); before a
@@ -520,6 +528,8 @@ _DE_LEXICON = {
     "millimeter": "milimˈeːtɐ", "kilogramm": "kiloːɡʁˈam",
     "milligramm": "mɪliɡʁˈam", "milliliter": "mɪlilˈiːtɐ",
     "prozent": "pʁotsˈɛnt", "celsius": "tsˈɛlziʊs",
+    "million": "mɪliˈoːn", "millionen": "mɪliˈoːnən",
+    "milliarde": "mɪliˈaʁdə", "milliarden": "mɪliˈaʁdən",
     # Latinate loans stress the final/penult syllable, not the first
     "musik": "muzˈiːk", "natur": "natˈuːʁ", "minute": "minˈuːtə",
     "minuten": "minˈuːtən", "sekunde": "zekˈʊndə", "sekunden": "zekˈʊndən",
@@ -673,8 +683,10 @@ _RU_STRESS = {
     "килограмм": 2, "килограмма": 2, "килограммов": 2,
     "миллиграмм": 2, "миллиграмма": 2, "миллиграммов": 2,
     "миллилитр": 2, "миллилитра": 2, "миллилитров": 2,
-    "миллион": 2, "миллиона": 2, "миллионов": 2, "миллиард": 2,
-    "миллиарда": 2, "миллиардов": 2, "тысячу": 0, "половина": 2,
+    # vowel-RUN indices: "ио"/"иа" merge into one run in the IPA, so the
+    # stressed о/а of миллиОн/миллиАрд lives in run 1
+    "миллион": 1, "миллиона": 1, "миллионов": 1, "миллиард": 1,
+    "миллиарда": 1, "миллиардов": 1, "тысячу": 0, "половина": 2,
     # frequent polysyllables (late round-4 band: verbs of saying/motion,
     # body/kinship nouns, geography)
     "сказал": 1, "сказала": 1, "можно": 0, "нужно": 0, "хороший": 1,
@@ -772,6 +784,8 @@ _UK_STRESS = {
     "двісті": 0, "триста": 0, "чотириста": 1, "пятсот": 1,
     "шістсот": 1, "сімсот": 1, "вісімсот": 2, "девятсот": 2,
     "тисяча": 0, "тисячі": 0, "тисяч": 0, "одна": 1, "дві": 0,
+    "мільйон": 1, "мільйони": 1, "мільйонів": 1,
+    "мільярди": 1, "мільярдів": 1,
     "кома": 0, "відсотків": 1, "доларів": 0, "градусів": 0,
     # frequent polysyllables (late round-4 band)
     "життя": 1, "можна": 0, "потрібно": 1, "справа": 0, "місце": 0,
@@ -996,6 +1010,9 @@ _PT_LEXICON = {
     "forte": "fˈɔɾti", "nove": "nˈɔvi", "sete": "sˈɛti",
     "dez": "dˈɛʃ", "ela": "ˈɛlɐ", "ele": "ˈeli", "avó": "avˈɔ",
     "avô": "avˈo", "pé": "pˈɛ", "só": "sˈɔ",
+    # the nh digraph + -entos stress (the ruleset mis-parses these) and
+    # the unstressed conjunction (numbers.py joins scale groups with "e")
+    "quinhentos": "kiɲˈẽtuʃ", "quinhentas": "kiɲˈẽtɐʃ", "e": "i",
 }
 
 # --- European Portuguese ("pt"; "pt-br" keeps the Brazilian-flavored base
@@ -1331,6 +1348,7 @@ _FA_LEXICON = {
     "بله": "bæle", "نه": "næ", "خیلی": "xejli", "ممنون": "mæmnun",
     "لطفا": "lotfæn", "لطفاً": "lotfæn", "خوب": "xub", "بد": "bæd",
     "بزرگ": "bozorɡ", "کوچک": "kutʃæk", "نو": "now", "کهنه": "kohne",
+    "میلیون": "miljun", "میلیارد": "miljɒrd",
     "آب": "ɒb", "نان": "nɒn", "خانه": "xɒne", "شهر": "ʃæhr",
     "کشور": "keʃvær", "کتاب": "ketɒb", "روز": "ruz", "شب": "ʃæb",
     "سال": "sɒl", "ماه": "mɒh", "هفته": "hæfte", "امروز": "emruz",
@@ -1463,7 +1481,7 @@ def _language(lang: str) -> Language:
         "el": (_EL_RULES, stress_marked_only, _EL_DIGITS, {}),
         "hu": (_HU_RULES, stress_initial, _HU_DIGITS, {}),
         "pl": (_PL_RULES, stress_penult, _PL_DIGITS, {}),
-        "nl": (_NL_RULES, stress_dutch, _NL_DIGITS, {}),
+        "nl": (_NL_RULES, stress_dutch, _NL_DIGITS, _NL_LEXICON),
         "de": (_DE_RULES, stress_german, _DE_DIGITS, _DE_LEXICON),
         "ru": (_RU_RULES, stress_russian, _RU_DIGITS, _RU_LEXICON),
         "uk": (_UK_RULES, stress_ukrainian, _UK_DIGITS, {}),
@@ -1701,7 +1719,9 @@ def _expand_numbers(text: str, lang: str, digits: Sequence[str]) -> str:
         # digit-by-digit like espeak does
         if n <= MAX_NUMBER and not (s[0] == "0" and len(s) > 1):
             try:
-                return " " + number_to_words(n, lang) + " "
+                # lowercase: rule languages run on lowered text, and the
+                # readers emit orthographic forms (de "eine Million")
+                return " " + number_to_words(n, lang).lower() + " "
             except KeyError:
                 pass
         return " " + " ".join(digits[int(d)] for d in s) + " "
