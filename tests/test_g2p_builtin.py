@@ -205,3 +205,28 @@ def test_english_units_fractions_ranges_years_roman():
     assert "ˈeɪt" in g("Henry VIII")
     assert "fɔɹ" in g("Chapter IV")
     assert g("World War I").endswith("aɪ")
+
+
+def test_english_normalization_advice_r04_fixes():
+    """ADVICE r04: range reading must not mangle dates/phone numbers,
+    single-letter Roman numerals need a numbering head word, and bare
+    'of' is not a year context."""
+    from toucan_tpu.frontend.g2p_en import _normalize_english as norm
+
+    # 3+-part hyphen chains are NOT ranges (ISO dates, phone numbers)
+    assert norm("2024-01-15") == "2024-01-15"
+    assert norm("555-867-5309") == "555-867-5309"
+    # two-part pairs must be range-shaped: left < right, equal width for
+    # 3+-digit numbers
+    assert norm("555-1234") == "555-1234"
+    assert "to" in norm("2-3 weeks")
+    assert "to" in norm("1914-1918")
+    assert "to" in norm("5-10 days")
+    # single-letter Roman numerals only after a numbering head
+    assert norm("Malcolm X") == "Malcolm X"
+    assert norm("Henry V") == "Henry five"
+    assert norm("Louis X") == "Louis ten"
+    assert "two" in norm("World War II")
+    # bare "of" no longer triggers year reading; season-of does
+    assert "1984" in norm("a total of 1984 items")
+    assert "nineteen sixty nine" in norm("the summer of 1969")

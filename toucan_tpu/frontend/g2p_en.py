@@ -450,21 +450,59 @@ _FRACTION = re.compile(r"(?<![\d/.])(\d{1,2})/(\d{1,2})(?![\d/.])")
 _FRACTION_DEN = {2: ("half", "halves"), 3: ("third", "thirds"),
                  4: ("quarter", "quarters")}
 
-# digit-digit ranges read as "to" ("2-3 weeks", "1914-1918")
-_RANGE = re.compile(r"(?<=\d)\s*[-–]\s*(?=\d)")
+# digit-digit ranges read as "to" ("2-3 weeks", "1914-1918").  ADVICE
+# r04: NOT for 3+-part hyphen chains (ISO dates 2024-01-15, phone numbers
+# 555-867-5309) and only when the pair is range-shaped: left < right, and
+# 3+-digit numbers must have equal widths (1914-1918 yes, 555-1234 no).
+_RANGE = re.compile(r"(?<![\d––-])(\d+)\s*[-–]\s*(\d+)(?![-–\d])")
+
+
+def _read_range(m: "re.Match") -> str:
+    left, right = m.group(1), m.group(2)
+    if int(left) < int(right) and (len(left) < 3 or len(left) == len(right)):
+        return f"{left} to {right}"
+    return m.group(0)
 
 # four-digit years after a year-selecting word read in two-pair style
 # ("in 1984" -> "in nineteen eighty four"); bare numbers elsewhere keep
 # the cardinal reading
 _YEAR = re.compile(
-    r"\b((?:[Ii]n|[Bb]y|[Ss]ince|[Uu]ntil|[Ff]rom|[Oo]f|[Dd]uring|"
+    r"\b((?:[Ii]n|[Bb]y|[Ss]ince|[Uu]ntil|[Ff]rom|[Dd]uring|"
     r"[Aa]round|[Yy]ear|[Ll]ate|[Ee]arly|[Mm]id)[\s-])"
     r"((?:1[1-9]|20)\d\d)\b")
+
+# "of <year>" only after a season/month/era head ("summer of 1969",
+# "class of 1984") — bare "of" is the least year-selective trigger
+# (ADVICE r04: "a total of 1984 items" read as a year)
+_YEAR_OF = re.compile(
+    r"\b((?:[Ss]ummer|[Ww]inter|[Ss]pring|[Ff]all|[Aa]utumn|[Cc]lass|"
+    r"[Ee]nd|[Bb]eginning|[Jj]anuary|[Ff]ebruary|[Mm]arch|[Aa]pril|"
+    r"[Mm]ay|[Jj]une|[Jj]uly|[Aa]ugust|[Ss]eptember|[Oo]ctober|"
+    r"[Nn]ovember|[Dd]ecember)\s+of\s+)((?:1[1-9]|20)\d\d)\b")
 
 # Roman numerals after a capitalized word ("Henry VIII", "World War II",
 # "Chapter IV") read as numbers; lone "I" stays the pronoun
 _ROMAN_EN = re.compile(r"\b([A-Z][a-zA-Z]+)\s+(X{0,3}(?:IX|IV|V?I{1,3}|V|X))\b")
 _ROMAN_VALUES = {"I": 1, "V": 5, "X": 10}
+
+
+# single-letter numerals (V, X) are false-positive-prone ("Malcolm X"):
+# they convert only after a numbering head word (ADVICE r04)
+_ROMAN_HEADS = {"chapter", "act", "part", "war", "section", "phase",
+                "volume", "book", "grade", "type", "mark", "class",
+                "stage", "level", "article", "appendix", "title",
+                "henry", "george", "edward", "louis", "charles", "james",
+                "william", "richard", "pope", "king", "queen", "paul",
+                "leo", "benedict", "pius", "napoleon", "philip"}
+
+
+def _read_roman_en(m: "re.Match") -> str:
+    head, numeral = m.group(1), m.group(2)
+    if numeral == "I":  # lone "I" stays the pronoun
+        return m.group(0)
+    if len(numeral) == 1 and head.lower() not in _ROMAN_HEADS:
+        return m.group(0)  # "Malcolm X" keeps the letter
+    return head + " " + number_to_words(_roman_value(numeral))
 
 
 def _roman_value(s: str) -> int:
@@ -506,12 +544,11 @@ def _normalize_english(text: str) -> str:
         lambda m: number_to_words(int(m.group(1))) + " "
         + spell_out(m.group(2) + "m"),
         text)
-    text = _ROMAN_EN.sub(
-        lambda m: m.group(0) if m.group(2) == "I"
-        else m.group(1) + " " + number_to_words(_roman_value(m.group(2))),
-        text)
+    text = _ROMAN_EN.sub(_read_roman_en, text)
     text = _YEAR.sub(lambda m: m.group(1) + _read_year(int(m.group(2))), text)
-    text = _RANGE.sub(" to ", text)
+    text = _YEAR_OF.sub(lambda m: m.group(1) + _read_year(int(m.group(2))),
+                        text)
+    text = _RANGE.sub(_read_range, text)
     text = _FRACTION.sub(_read_fraction, text)
     text = _UNIT_RX.sub(
         lambda m: m.group(1) + " "

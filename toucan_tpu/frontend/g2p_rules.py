@@ -152,6 +152,13 @@ _DE_PREFIX_EXCEPTIONS = {  # stem-initial lookalikes keep initial stress
     "erbe", "erben", "erde", "erden", "ernte", "ernten",
     "entweder", "ente", "enten", "erzen", "erzes",
 }
+# stem FAMILIES matched by startswith (ADVICE r04: exact forms missed
+# inflections — Berge, gelbe...).  Only stems no be-/ge-/er- verb can
+# start with (no German stem begins rg-/lb-/ld-/rn-/nst-), so startswith
+# cannot shadow a real prefix verb (cf. "best"/"erst", which would shadow
+# bestehen/erstellen and therefore stay exact-form entries above).
+_DE_PREFIX_EXCEPTION_STEMS = ("berg", "gelb", "geld", "gern", "ernst",
+                              "ernte", "erde", "erden", "geig", "geist")
 _DE_VOWELS = set("aeiouäöüy")
 
 # Dutch shares the Germanic unstressed-prefix system (begrijpen =
@@ -165,11 +172,14 @@ _NL_PREFIX_EXCEPTIONS = {
     "verder", "verdere", "vers", "verse", "ergens", "herfst",
     "hersenen", "herten",
 }
+_NL_PREFIX_EXCEPTION_STEMS = ("geld", "beter", "bezem", "beker", "gevel",
+                              "herfst", "hersen")
 _NL_PREFIX_SCHWA = {"be": "bə", "ge": "ɣə", "ver": "vər"}
 _DE_PREFIX_SCHWA = {"be": "bə", "ge": "ɡə"}
 
 
-def _prefix_stress(prefix_ipa, exceptions, schwa, st_sp_sh):
+def _prefix_stress(prefix_ipa, exceptions, schwa, st_sp_sh,
+                   exception_stems=()):
     """Stress function for Germanic languages with unstressed verbal
     prefixes: the stem takes the stress, be-/ge-(/ver-) reduce to schwa,
     and (German) a stem-initial st/sp reads ʃ as at word start."""
@@ -184,6 +194,7 @@ def _prefix_stress(prefix_ipa, exceptions, schwa, st_sp_sh):
             if (len(stem) >= 3 and stem[0] not in _DE_VOWELS
                     and stem[0] != stem[1:2]      # besser/betten: tt/ss
                     and w not in exceptions
+                    and not any(w.startswith(s) for s in exception_stems)
                     and p_ipa is not None):
                 rest = ipa[len(p_ipa):]
                 if st_sp_sh and stem[:2] in ("st", "sp") \
@@ -196,9 +207,11 @@ def _prefix_stress(prefix_ipa, exceptions, schwa, st_sp_sh):
 
 
 stress_german = _prefix_stress(_DE_PREFIX_IPA, _DE_PREFIX_EXCEPTIONS,
-                               _DE_PREFIX_SCHWA, st_sp_sh=True)
+                               _DE_PREFIX_SCHWA, st_sp_sh=True,
+                               exception_stems=_DE_PREFIX_EXCEPTION_STEMS)
 stress_dutch = _prefix_stress(_NL_PREFIX_IPA, _NL_PREFIX_EXCEPTIONS,
-                              _NL_PREFIX_SCHWA, st_sp_sh=False)
+                              _NL_PREFIX_SCHWA, st_sp_sh=False,
+                              exception_stems=_NL_PREFIX_EXCEPTION_STEMS)
 
 
 def stress_penult(word: str, ipa: str) -> str:

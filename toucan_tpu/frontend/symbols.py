@@ -155,7 +155,9 @@ def _count_form(w, n: int | None):
         return w
     if len(w) == 3:  # Slavic: singular / paucal 2-4 / genitive plural
         if n is None:
-            return w[2]
+            # decimal amounts govern the genitive SINGULAR (= the paucal
+            # form): "21,5 градуса", not "градусов" (ADVICE r04)
+            return w[1]
         if n % 10 == 1 and n % 100 != 11:
             return w[0]
         if n % 10 in (2, 3, 4) and n % 100 not in (12, 13, 14):
