@@ -28,29 +28,32 @@ import time
 
 TARGET = 5000.0  # audio-seconds / s / chip (BASELINE.json north star)
 
-# hard wall-clock caps per extra section (seconds); cold compiles through
-# the TPU relay are the dominant cost — caps kill a runaway compile instead
-# of letting it eat the driver's external timeout
+# hard wall-clock caps per extra section (seconds).  Round-5 restructure
+# (VERDICT r04 #1: the official record never landed the scaling/train
+# anchors in 4 rounds): parameter INITS now run on the host CPU backend
+# (measured: vocoder GAN init 92 s on CPU vs 671 s compiled through the
+# TPU relay), the scaling anchor and the acoustic train step share ONE
+# compiled program ("train" section), the on-disk streamed anchor is
+# env-gated (TOUCAN_BENCH_STREAMED=1), and int8 (a demoted serving path)
+# left the default order.  Worst-case warm wall is now ~15 min for the
+# full record.
 SECTION_CAPS = {
+    "train": 480,           # mesh-sharded acoustic step: scaling anchor +
+                            # train throughput from one compile
+    "train_vocoder": 480,   # vocoder GAN step, CPU-init + one compile
+                            # (~350 s measured warm; the relay executable
+                            # fetch dominates, not compute)
+    "parity": 600,
     "acoustic": 360,
     "bigvgan": 300,
     "stft": 180,
-    "scaling": 360,
     "pipelined": 420,
-    "parity": 600,
-    "train": 660,           # acoustic train step + on-disk streamed anchor
-    "train_vocoder": 1500,  # vocoder GAN step (separate process: own cap,
-                            # and a timeout in one can't starve the other;
-                            # measured ~12 min even with a warm compile
-                            # cache — the executable fetch through the TPU
-                            # relay dominates, not compute)
-    "int8": 600,  # pallas stage-kernel compiles miss the persistent cache
+    "int8": 600,  # not in the default order (demoted path)
 }
-# launch order: cheap, high-value sections first so an external kill or
-# budget exhaustion costs the least; the heavy train sections run late
-# (their timings re-print incrementally like everything else)
-SECTION_ORDER = ["acoustic", "bigvgan", "stft", "scaling", "pipelined",
-                 "parity", "train", "train_vocoder", "int8"]
+# launch order: the never-landed anchors run FIRST after the headline so
+# an external kill costs the least-recorded sections, not the record
+SECTION_ORDER = ["train", "train_vocoder", "parity", "acoustic",
+                 "bigvgan", "stft", "pipelined"]
 
 
 def _setup_jax():
@@ -232,9 +235,35 @@ def _train_batch(on_tpu):
 
 
 def _sec_train():
-    """Training throughput: full-size ToucanTTS train step (fwd+bwd+Adam,
-    glow on) at the reference batch size + the on-disk streamed-input
-    anchor.  (The vocoder GAN step is its own section.)"""
+    """Scaling anchor + acoustic train throughput from ONE compiled
+    program (VERDICT r04 #1c): the mesh-sharded full-size ToucanTTS train
+    step (fwd+bwd+Adam, glow on) at the reference batch size 24 on a 1x1
+    mesh.  ``scaling_bench_1chip`` is the fixed-geometry number the
+    >=85%-at-2-hosts target (BASELINE.md) is measured against when a pod
+    slice appears — same harness ``dist/scaling_bench.py`` sweeps with.
+    Params init on the host CPU backend (the relay-compiled init alone
+    cost ~11 min; see scaling_bench.measure)."""
+    from toucan_tpu.dist.scaling_bench import measure
+
+    on_tpu, _ = _setup_jax()
+    if not on_tpu:
+        return {"train_skipped": "cpu (mesh step compile too slow)"}
+    b, tmax, lmax = 24, 100, 500  # reference batch, r4 train-bench shapes
+    blob = measure(n_data=1, n_model=1, batch_per_device=b, tmax=tmax,
+                   lmax=lmax, steps=12, init_on_cpu=True)
+    out = {
+        "scaling_bench_1chip": blob,
+        "acoustic_train_steps_per_s": round(1.0 / blob["step_seconds"], 2),
+        "acoustic_train_samples_per_s": blob["utterances_per_second"],
+    }
+    if os.environ.get("TOUCAN_BENCH_STREAMED", "0") == "1":
+        out.update(_sec_train_streamed())
+    return out
+
+
+def _sec_train_streamed():
+    """On-disk streamed-input anchor (env-gated: TOUCAN_BENCH_STREAMED=1;
+    the honest relay-bound numbers are on record in BENCH_NOTES r4)."""
     import jax
     import jax.numpy as jnp
 
@@ -243,53 +272,32 @@ def _sec_train():
     from toucan_tpu.train.toucan_train import create_train_state, make_train_step
 
     on_tpu, dtype = _setup_jax()
-    out = {}
     rng = jax.random.PRNGKey(0)
     batch, b, tmax, lmax = _train_batch(on_tpu)
-    if on_tpu:
-        config = ToucanTTSConfig(dtype=dtype)
-    else:  # smoke-test config: full path, toy widths (CPU compile time)
-        config = ToucanTTSConfig(dtype=dtype, adim=32, aheads=2, enc_layers=1,
-                                 enc_units=64, dec_layers=1, dec_units=64,
-                                 duration_layers=1, pitch_layers=1,
-                                 energy_layers=1, duration_chans=16,
-                                 pitch_chans=16, energy_chans=16,
-                                 glow_blocks=2, glow_hidden=16)
-    gst = StyleEmbedding()
-    gst_vars = gst.init(rng, jnp.zeros((1, 20, 80)), jnp.array([20]))
-    state, optimizer = create_train_state(rng, config, gst_vars,
-                                          batch_shape=(2, tmax, lmax))
+    config = ToucanTTSConfig(dtype=dtype)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        gst_vars = StyleEmbedding().init(rng, jnp.zeros((1, 20, 80)),
+                                         jnp.array([20]))
+        state, optimizer = create_train_state(rng, config, gst_vars,
+                                              batch_shape=(2, tmax, lmax))
+    state = jax.device_put(state, jax.devices()[0])
     step = make_train_step(config, optimizer, run_glow=True)
-
-    chain = 5 if on_tpu else 2
-
-    @jax.jit
-    def run(s, bt):
-        def body(_, carry):
-            return step(carry, bt, jax.random.PRNGKey(2))[0]
-        final = jax.lax.fori_loop(0, chain, body, s)
-        return jnp.sum(final.params["tts"]["feat_out"]["kernel"].astype(jnp.float32))
-
-    jax.device_get(run(state, batch))
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        jax.device_get(run(state, batch))
-        best = min(best, time.perf_counter() - t0)
-    out["acoustic_train_steps_per_s"] = round(chain / best, 2)
-    out["acoustic_train_samples_per_s"] = round(chain * b / best, 1)
-
-    if on_tpu:
-        try:
-            out.update(_streamed_vs_resident(step, state, batch, b, tmax, lmax))
-        except Exception as exc:
-            out["streamed_error"] = str(exc)[:200]
-    return out
+    try:
+        return _streamed_vs_resident(step, state, batch, b, tmax, lmax)
+    except Exception as exc:
+        return {"streamed_error": str(exc)[:200]}
 
 
 def _sec_train_vocoder():
     """Vocoder GAN step (G + D, adversarial phase) at the reference segment
-    length (12288 samples -> 32 mel frames) and batch size 18."""
+    length (12288 samples -> 32 mel frames) and batch size 18.
+
+    Round-5 phase profile through the relay: init compiled on-device 671 s
+    vs 92 s on the host CPU backend; the step executable fetch is ~234 s
+    (persistent-cache-proof: it is the relay transfer, not the compile);
+    the steps themselves run at ~4/s.  So: CPU init, ONE jitted
+    per-dispatch step, steps chained through the state dependency."""
     import numpy as np
 
     import jax
@@ -303,31 +311,28 @@ def _sec_train_vocoder():
         return {"train_vocoder_skipped": "cpu"}  # compile on CPU
     rng = jax.random.PRNGKey(0)
     nprng = np.random.RandomState(0)
-    chain = 3  # smaller chained program than the acoustic section: the
-    vb = 18    # 5-step GAN chain compile dominated the section wall time
-    state_v, optimizers = create_vocoder_train_state(rng)
-    vstep = make_vocoder_train_step(optimizers, use_adversarial=True)
+    vb = 18
+    with jax.default_device(jax.devices("cpu")[0]):
+        state_v, optimizers = create_vocoder_train_state(rng)
+    state_v = jax.device_put(state_v, jax.devices()[0])
+    vstep = jax.jit(make_vocoder_train_step(optimizers, use_adversarial=True),
+                    static_argnums=(2,))
     vbatch = dict(
         gold_wave=jnp.asarray(nprng.randn(vb, 12288, 1).astype(np.float32)),
         mel=jnp.asarray(nprng.randn(vb, 32, 80).astype(np.float32)),
     )
 
-    @jax.jit
-    def runv(s, bt):
-        def body(_, carry):
-            return vstep(carry, bt, True)[0]
-        final = jax.lax.fori_loop(0, chain, body, s)
-        return jnp.sum(jax.tree.leaves(final.g_params)[0].astype(jnp.float32))
-
-    jax.device_get(runv(state_v, vbatch))
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        jax.device_get(runv(state_v, vbatch))
-        best = min(best, time.perf_counter() - t0)
+    s, _ = vstep(state_v, vbatch, True)  # compile + warm up
+    jax.block_until_ready(jax.tree.leaves(s.g_params)[0])
+    n = 15
+    t0 = time.perf_counter()
+    for _ in range(n):  # data-dependent chain through the state
+        s, _ = vstep(s, vbatch, True)
+    jax.block_until_ready(jax.tree.leaves(s.g_params)[0])
+    dt = (time.perf_counter() - t0) / n
     return {
-        "vocoder_train_steps_per_s": round(chain / best, 2),
-        "vocoder_train_audio_s_per_s": round(chain * vb * 12288 / 24000 / best, 1),
+        "vocoder_train_steps_per_s": round(1.0 / dt, 2),
+        "vocoder_train_audio_s_per_s": round(vb * 12288 / 24000 / dt, 1),
     }
 
 
@@ -617,16 +622,17 @@ def _mel_parity_max_abs_err():
 
 
 def _sec_scaling():
-    # 1-chip scaling anchor: the fixed-geometry number the >=85%-at-
-    # 2-hosts target (BASELINE.md) is measured against when a pod
-    # slice appears.  Same harness the sweep mode uses.
+    # standalone legacy-geometry scaling anchor (B=8/tmax=64/lmax=384,
+    # comparable to the BENCH_NOTES r4 number); the DEFAULT record's
+    # anchor now comes from the merged "train" section at B=24
     on_tpu, _ = _setup_jax()
     if not on_tpu:
         return {"scaling_skipped": "cpu"}
     from toucan_tpu.dist.scaling_bench import measure
 
-    return {"scaling_bench_1chip": measure(n_data=1, n_model=1,
-                                           batch_per_device=8)}
+    return {"scaling_bench_1chip_b8": measure(n_data=1, n_model=1,
+                                              batch_per_device=8,
+                                              init_on_cpu=True)}
 
 
 SECTIONS = {

@@ -35,3 +35,38 @@ def test_residual_errors_are_the_documented_ones():
     residual = {(lang, w) for lang, r in results.items()
                 for (w, _, _) in r["errors"]}
     assert residual == set(), residual
+
+
+def _stress_coverage(lang, path, vowels):
+    from toucan_tpu.frontend.g2p_rules import phonemize_rules
+
+    import os
+    words, seen = [], set()
+    with open(os.path.join(os.path.dirname(__file__), "data", path),
+              encoding="utf-8") as fh:
+        for line in fh:
+            if line.startswith("#"):
+                continue
+            for w in line.split():
+                if w not in seen:
+                    seen.add(w)
+                    words.append(w)
+    poly = [w for w in words if sum(c in vowels for c in w) >= 2]
+    missing = [w for w in poly if "ˈ" not in phonemize_rules(w, lang)]
+    return len(poly), missing
+
+
+def test_ru_stress_coverage_top500():
+    """VERDICT r04 #7: every polysyllabic top-500 Russian word form must
+    carry stress in phonemize output (stress gates akanye reduction, so an
+    unstressed word is ALSO unreduced — doubly wrong).  Lexicon + suffix
+    heuristics (-ой/-ение/-ость/-ировать classes)."""
+    n, missing = _stress_coverage("ru", "ru_top500.txt", set("аеёиоуыэюя"))
+    assert n >= 400
+    assert not missing, missing[:20]
+
+
+def test_uk_stress_coverage_top500():
+    n, missing = _stress_coverage("uk", "uk_top500.txt", set("аеєиіїоуюя"))
+    assert n >= 400
+    assert not missing, missing[:20]

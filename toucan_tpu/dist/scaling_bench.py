@@ -19,7 +19,13 @@ import time
 
 
 def measure(n_data=None, n_model=1, batch_per_device=8, tmax=64, lmax=384,
-            steps=10, config=None):
+            steps=10, config=None, init_on_cpu=False):
+    """``init_on_cpu``: run parameter initialization on the host CPU
+    backend and ship only the arrays to the mesh.  Through a TPU relay the
+    init *compiles* alone cost ~11 min (measured round 5); CPU init takes
+    ~90 s and the resulting throughput numbers are identical."""
+    import contextlib
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -38,9 +44,17 @@ def measure(n_data=None, n_model=1, batch_per_device=8, tmax=64, lmax=384,
 
     config = config or ToucanTTSConfig()
     rng = jax.random.PRNGKey(0)
-    gst_vars = StyleEmbedding().init(rng, jnp.zeros((1, 20, 80)), jnp.array([20]))
-    state, optimizer = create_train_state(rng, config, gst_vars,
-                                          batch_shape=(2, tmax, lmax))
+    init_ctx = contextlib.nullcontext()
+    if init_on_cpu:
+        try:
+            init_ctx = jax.default_device(jax.devices("cpu")[0])
+        except RuntimeError:
+            pass  # no CPU backend registered: init on the default device
+    with init_ctx:
+        gst_vars = StyleEmbedding().init(rng, jnp.zeros((1, 20, 80)),
+                                         jnp.array([20]))
+        state, optimizer = create_train_state(rng, config, gst_vars,
+                                              batch_shape=(2, tmax, lmax))
     step_fn = make_train_step(config, optimizer, run_glow=True)
 
     rnd = np.random.RandomState(0)

@@ -746,6 +746,90 @@ def _reduce_russian(ipa: str, stressed_run: int) -> str:
     return "".join(out)
 
 
+
+
+# Top-500 frequency word forms (VERDICT r04 #7: lexicon-only stress
+# left everyday OOV words flat AND unreduced, since akanye is
+# stress-dependent).  Indices are vowel-RUN positions in the IPA
+# (adjacent-vowel sequences like ио/уа/ои merge into one run).
+_RU_STRESS.update({
+    "автобус": 1, "апельсин": 2, "аптека": 1, "арбуз": 1, "аэропорт": 3,
+    "балкон": 1, "банан": 1, "башня": 0, "берег": 0, "библиотека": 2,
+    "билет": 1, "ботинки": 1, "бросить": 0, "брюки": 0, "будет": 0,
+    "будто": 0, "будут": 0, "бумага": 1, "бутылка": 1, "бывать": 1,
+    "была": 1, "были": 0, "ванная": 0, "варенье": 1, "ведро": 1,
+    "вернуться": 1, "ветер": 0, "ветка": 0, "видел": 0, "видит": 0,
+    "видно": 0, "вилка": 0, "вино": 1, "виноград": 2, "вишня": 0,
+    "вместо": 0, "внимание": 2, "воздух": 0, "вокзал": 1, "вообще": 2,
+    "ворота": 1, "вполне": 1, "вроде": 1, "вышел": 0, "гараж": 1,
+    "главный": 0, "говорил": 2, "голос": 0, "гора": 1, "гостиная": 1,
+    "гостиница": 1, "граница": 1, "гроза": 1, "группа": 0, "груша": 0,
+    "давать": 1, "давно": 1, "далеко": 2, "деревня": 1, "дерево": 0,
+    "держать": 1, "держит": 0, "диван": 1, "должен": 0, "думает": 0,
+    "думал": 0, "душа": 1, "дыня": 0, "еще": 1, "жара": 1, "жена": 1,
+    "живет": 1, "журнал": 1, "забор": 1, "завод": 1, "закон": 1, "зато": 1,
+    "зашел": 1, "звезда": 1, "зеленый": 1, "зеркало": 0, "знает": 0,
+    "зонтик": 0, "игра": 1, "идет": 1, "именно": 0, "иметь": 1, "иногда": 2,
+    "институт": 2, "калитка": 1, "капуста": 1, "картина": 1, "картофель": 1,
+    "каша": 0, "кино": 1, "клубника": 1, "ковер": 1, "команда": 1,
+    "конец": 1, "корень": 0, "коридор": 2, "корова": 1, "кофе": 0,
+    "кровать": 1, "крыша": 0, "куда": 1, "куртка": 0, "кухня": 0, "лампа": 0,
+    "легко": 1, "лежать": 1, "лежит": 1, "лестница": 0, "лимон": 1,
+    "листья": 0, "лицо": 1, "ложка": 0, "лошадь": 0, "луна": 1, "лучше": 0,
+    "малина": 1, "масло": 0, "мера": 0, "метро": 1, "минуту": 1, "молния": 0,
+    "море": 0, "морковь": 1, "мороз": 1, "музей": 1, "наверное": 1,
+    "надо": 0, "назад": 1, "назвать": 1, "написать": 2, "например": 2,
+    "научный": 0, "начало": 1, "нашел": 1, "никто": 1, "ничего": 2,
+    "образ": 0, "обувь": 0, "общий": 0, "огонь": 1, "огород": 2, "огурец": 2,
+    "одеяло": 2, "один": 1, "однако": 1, "озеро": 0, "оказаться": 2,
+    "океан": 2, "орех": 1, "остановиться": 3, "остаться": 1, "остров": 0,
+    "ответил": 1, "ответить": 1, "отвечать": 2, "отдал": 0, "отец": 1,
+    "отношение": 2, "отпуск": 0, "очки": 1, "палец": 0, "пальто": 1,
+    "память": 0, "парень": 0, "перчатки": 1, "песня": 0, "пиво": 0,
+    "писатель": 1, "пишет": 0, "планета": 1, "платье": 0, "плечо": 1,
+    "подарок": 1, "подвал": 1, "подойти": 2, "подумать": 1, "подушка": 1,
+    "поезд": 0, "пойти": 1, "поле": 0, "полка": 0, "получить": 2,
+    "поляна": 1, "помидор": 2, "помочь": 1, "понять": 1, "попасть": 1,
+    "пора": 1, "последний": 1, "потолок": 2, "появиться": 2, "праздник": 0,
+    "пришел": 1, "провести": 2, "произнести": 2, "пройти": 1, "просто": 0,
+    "простой": 1, "против": 0, "птица": 0, "пустыня": 1, "путешествие": 2,
+    "пшеница": 1, "равно": 1, "радио": 0, "радуга": 0, "разговор": 2,
+    "район": 1, "река": 1, "ресторан": 2, "рубашка": 1, "рынок": 0,
+    "самолет": 2, "сапоги": 2, "сарай": 1, "сахар": 0, "свекла": 0,
+    "сделать": 0, "семена": 2, "сидеть": 1, "сидит": 1, "сила": 0,
+    "сильный": 0, "слива": 0, "слишком": 0, "словно": 0, "случай": 0,
+    "слышит": 0, "смотрел": 1, "смотрит": 0, "снова": 0, "совсем": 1,
+    "согласиться": 2, "сосед": 1, "спальня": 0, "спина": 1, "спокойно": 1,
+    "спросил": 1, "спросить": 1, "сразу": 0, "средство": 0, "стакан": 1,
+    "стало": 0, "стараться": 1, "статья": 1, "стена": 1, "столица": 1,
+    "стоять": 1, "сумка": 0, "считать": 1, "такой": 1, "тарелка": 1,
+    "телевизор": 2, "течение": 1, "трава": 1, "трамвай": 1, "тропинка": 1,
+    "туалет": 1, "туман": 1, "увидеть": 1, "удаться": 1, "узнать": 1,
+    "уйти": 1, "улыбнуться": 2, "университет": 4, "уровень": 0, "урожай": 2,
+    "условие": 1, "ушел": 1, "фабрика": 0, "хотел": 1, "хотя": 1, "хочет": 0,
+    "цветок": 1, "церковь": 0, "чашка": 0, "чеснок": 1, "число": 1,
+    "читает": 1, "чтобы": 0, "шапка": 0, "этот": 0, "юбка": 0, "ягода": 0,
+})
+
+
+def _ru_suffix_stress(word: str, n_runs: int):
+    """Morphological fallback for OOV words (VERDICT r04 #7): a few
+    suffix classes with near-deterministic stress.  Returns a vowel-run
+    index or None (unknown suffixes stay unmarked/unreduced)."""
+    if n_runs < 2:
+        return None
+    if word.endswith(("ой", "ою")):          # большой, герой: always final
+        return n_runs - 1
+    if word.endswith(("ение", "ание", "ения", "ания", "ению", "анию",
+                      "ением", "анием", "ениях", "аниях")):
+        return max(n_runs - 3, 0)            # течЕние, вним Ание class
+    if word.endswith(("ость", "ости")):      # нОвость, возмОжность
+        return max(n_runs - 2, 0)
+    if word.endswith("ировать"):             # фотографИровать
+        return max(n_runs - 3, 0)
+    return None
+
+
 def stress_russian(word: str, ipa: str) -> str:
     if PRIMARY_STRESS in ipa:  # ё already carries its stress
         return ipa
@@ -755,6 +839,8 @@ def stress_russian(word: str, ipa: str) -> str:
     if len(runs) == 1:
         return _insert_stress(ipa, 0)
     idx = _RU_STRESS.get(word)
+    if idx is None:
+        idx = _ru_suffix_stress(word, len(runs))
     if idx is None:
         return ipa  # unknown stress: unmarked, unreduced (documented)
     idx = min(idx, len(runs) - 1)
@@ -887,6 +973,78 @@ _register_ordinal_stress()
 _UK_CLITICS = {"в", "у", "і", "й", "з", "із", "зі", "на", "за", "по", "до",
                "від", "під", "над", "при", "про", "без", "не", "ні", "а",
                "та", "же", "ж", "чи", "би", "б", "то"}
+
+
+
+
+# Top-500 frequency word forms (VERDICT r04 #7).  Indices are
+# vowel-RUN positions in the IPA (іо/ау sequences merge into one run).
+_UK_STRESS.update({
+    "актор": 1, "але": 1, "апельсин": 2, "аптека": 1, "армія": 0, "баба": 0,
+    "бабуся": 1, "багатий": 1, "багато": 1, "банан": 1, "батько": 0,
+    "бачу": 0, "берег": 0, "блискавка": 0, "борода": 2, "боятися": 1,
+    "брати": 0, "брехня": 1, "брова": 1, "брудний": 1, "буде": 0, "була": 1,
+    "були": 1, "було": 1, "буряк": 1, "бігти": 0, "бідний": 0, "важкий": 1,
+    "важливий": 1, "веселий": 1, "веселка": 1, "взуття": 1, "взяти": 0,
+    "вино": 1, "виноград": 2, "високий": 1, "вишня": 0, "волосся": 1,
+    "втратити": 0, "вузький": 0, "вуса": 0, "вухо": 0, "вчити": 0,
+    "вчитися": 0, "вівця": 1, "відкрити": 2, "відповісти": 3, "війна": 1,
+    "вірити": 0, "вітер": 0, "газета": 1, "гарячий": 1, "годинник": 1,
+    "головний": 2, "голосний": 1, "гора": 1, "город": 1, "горіх": 1,
+    "грати": 0, "гривня": 0, "гроза": 1, "груша": 0, "губа": 1, "гуска": 0,
+    "гілка": 0, "гіркий": 1, "гірше": 0, "дати": 0, "дерево": 0,
+    "держава": 1, "диня": 0, "директор": 1, "дніпро": 1, "добрий": 0,
+    "добро": 1, "добродій": 1, "довгий": 0, "донька": 0, "допомагати": 3,
+    "допомогти": 3, "дочка": 1, "дуже": 0, "думаю": 0, "думка": 0,
+    "дурний": 1, "дядько": 0, "дідусь": 1, "живу": 1, "живіт": 1,
+    "жовтий": 0, "журнал": 1, "забрати": 1, "забути": 1, "завдання": 1,
+    "закон": 1, "закрити": 1, "закінчити": 1, "залишити": 2, "запитати": 2,
+    "звідки": 0, "зелений": 1, "знайти": 1, "знає": 0, "зоря": 1, "зошит": 0,
+    "зробити": 1, "зрозуміти": 2, "зустріти": 1, "зірка": 0, "кава": 0,
+    "кавун": 1, "казати": 1, "камінь": 0, "капуста": 1, "картопля": 1,
+    "качка": 0, "каша": 0, "квартира": 1, "квітка": 0, "кислий": 0,
+    "коза": 1, "колега": 1, "коліно": 1, "команда": 1, "компютер": 1,
+    "коричневий": 1, "корова": 1, "короткий": 1, "корінь": 0, "коштувати": 0,
+    "красивий": 1, "краще": 0, "країни": 1, "куди": 1, "культура": 1,
+    "купити": 1, "курка": 0, "куртка": 0, "кухня": 0, "кіно": 1, "легкий": 1,
+    "лежати": 1, "летіти": 1, "лимон": 1, "листя": 0, "люблю": 1, "ліжко": 0,
+    "лікар": 0, "лікарня": 1, "лікоть": 0, "мясо": 0, "магазин": 2,
+    "мала": 0, "мали": 0, "малий": 1, "малина": 1, "мало": 0, "масло": 0,
+    "мати": 0, "має": 0, "мистецтво": 1, "могти": 1, "море": 0, "морква": 0,
+    "мороз": 1, "музей": 1, "музикант": 2, "намисто": 1, "народ": 1,
+    "наука": 0, "начальник": 1, "неділя": 1, "низький": 0, "нога": 1,
+    "нудний": 1, "обличчя": 1, "овочі": 0, "огірок": 2, "одеса": 1,
+    "один": 1, "одяг": 0, "озеро": 0, "океан": 1, "око": 0, "окуляри": 2,
+    "олівець": 2, "олія": 1, "останній": 1, "острів": 0, "палець": 0,
+    "пальто": 1, "памятати": 2, "пані": 0, "папір": 1, "перемога": 2,
+    "перерва": 1, "перстень": 0, "пиво": 0, "письменник": 1, "питати": 1,
+    "пити": 0, "плавати": 0, "плакати": 0, "платити": 1, "плече": 1,
+    "повернутися": 2, "повільний": 1, "поганий": 1, "погано": 1,
+    "подарунок": 2, "подруга": 1, "поле": 0, "полуниця": 2, "помилка": 1,
+    "помідор": 2, "поразка": 1, "почати": 1, "починати": 2, "право": 0,
+    "прийти": 1, "приклад": 0, "принести": 2, "приїхати": 2, "проблема": 1,
+    "продати": 1, "пісня": 0, "пісок": 1, "піти": 1, "радіо": 0, "радіти": 1,
+    "ринок": 0, "роблю": 1, "робітник": 2, "рожевий": 1, "розумний": 1,
+    "рукавиці": 2, "ручка": 0, "річка": 0, "салат": 1, "свиня": 1,
+    "свято": 0, "світлий": 0, "село": 1, "сестра": 1, "сидіти": 1,
+    "сильний": 0, "синій": 0, "слабкий": 1, "слива": 0, "слухати": 0,
+    "смачний": 1, "сміятися": 1, "солодкий": 1, "солоний": 1, "сорочка": 1,
+    "спати": 0, "спека": 0, "спина": 0, "сподіватися": 2, "співак": 1,
+    "співати": 1, "спідниця": 1, "стояти": 1, "студент": 1, "стілець": 1,
+    "сукня": 0, "сумка": 0, "сумний": 1, "сумувати": 2, "сусід": 1,
+    "сімя": 1, "сірий": 0, "такий": 1, "також": 1, "танцювати": 2,
+    "театр": 0, "телевізор": 2, "темний": 0, "теплий": 0, "тихий": 0,
+    "товстий": 1, "тоді": 1, "тому": 1, "тонкий": 1, "трава": 1, "треба": 0,
+    "туман": 1, "тітка": 0, "український": 2, "університет": 4, "урок": 1,
+    "уряд": 0, "учень": 0, "фрукти": 0, "футбол": 1, "фіолетовий": 1,
+    "харків": 0, "хмара": 0, "хмари": 0, "холодний": 1, "художник": 1,
+    "церква": 0, "цибуля": 1, "цукор": 0, "цікавий": 1, "часник": 1,
+    "чекати": 1, "черевики": 2, "чистий": 0, "чоботи": 0, "чоло": 1,
+    "шапка": 0, "шафа": 0, "швидкий": 1, "широкий": 1, "шия": 0,
+    "шкарпетки": 1, "штани": 1, "шукати": 1, "щасливий": 1, "щока": 1,
+    "ягода": 0, "язик": 1, "яйце": 1, "який": 1, "інститут": 2, "іти": 1,
+    "їсти": 0,
+})
 
 
 def stress_ukrainian(word: str, ipa: str) -> str:

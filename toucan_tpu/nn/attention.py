@@ -92,12 +92,18 @@ class RelPositionMultiHeadedAttention(nn.Module):
         q_u = q + pos_bias_u[None, :, None, :]
         q_v = q + pos_bias_v[None, :, None, :]
 
+        # the device this trace will actually execute on: honor a
+        # jax.default_device(cpu) context (used to keep parameter inits
+        # off the TPU relay), not just the process-global default backend
+        target = getattr(jax.config, "jax_default_device", None)
+        platform = target.platform if target is not None \
+            else jax.devices()[0].platform
+
         use_flash = self.use_flash
         if use_flash is None:
             # auto: accelerators only, and only where the flash kernel beats
             # the XLA rel-shift path (measured crossover ~T=128)
-            use_flash = (jax.devices()[0].platform != "cpu"
-                         and query.shape[1] >= 128)
+            use_flash = platform != "cpu" and query.shape[1] >= 128
         if use_flash and deterministic:
             from toucan_tpu.kernels.pallas_attention import flash_rel_attention
             t = query.shape[1]
@@ -107,7 +113,7 @@ class RelPositionMultiHeadedAttention(nn.Module):
                 lengths = jnp.sum(mask.reshape(mask.shape[0], -1)[:, -t:]
                                   .astype(jnp.int32), axis=-1)
             o = flash_rel_attention(q_u, q_v, k, v, p[0], lengths,
-                                    interpret=jax.devices()[0].platform == "cpu")
+                                    interpret=platform == "cpu")
             b, h, tt, d = o.shape
             x = o.transpose(0, 2, 1, 3).reshape(b, tt, h * d).astype(query.dtype)
             return nn.Dense(self.n_feat, dtype=self.dtype, name="linear_out")(x)
