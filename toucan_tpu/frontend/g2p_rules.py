@@ -542,6 +542,15 @@ _DE_LEXICON = {
     "milligramm": "mɪliɡʁˈam", "milliliter": "mɪlilˈiːtɐ",
     "prozent": "pʁotsˈɛnt", "celsius": "tsˈɛlziʊs",
     "million": "mɪliˈoːn", "millionen": "mɪliˈoːnən",
+    # long-vowel exception classes the open-syllable rule cannot see
+    "mond": "moːnt", "monde": "moːndə", "montag": "moːntaːk",
+    "obst": "oːpst", "herbst": "hɛʁpst", "hoch": "hoːx",
+    "sprache": "ʃpʁaːxə", "sprachen": "ʃpʁaːxən", "suche": "zuːxə",
+    "kuchen": "kuːxən", "buche": "buːxə",
+    "abend": "aːbənt", "abends": "aːbənts", "abende": "aːbəndə",
+    "monat": "moːnat", "monate": "moːnatə", "monaten": "moːnatən",
+    "mädchen": "mɛːtçən", "auto": "aʊto", "autos": "aʊtos",
+    "kino": "kiːno", "kinos": "kiːnos",
     "milliarde": "mɪliˈaʁdə", "milliarden": "mɪliˈaʁdən",
     # Latinate loans stress the final/penult syllable, not the first
     "musik": "muzˈiːk", "natur": "natˈuːʁ", "minute": "minˈuːtə",
@@ -589,7 +598,11 @@ _DE_RULES = [
     Rule("uh", "uː"), Rule("ih", "iː"), Rule("äh", "ɛː"), Rule("öh", "øː"),
     Rule("üh", "yː"),
     Rule("ig", "ɪç", post="$"),  # -ig suffix (zwanzig, König)
-    Rule("ng", "ŋ", post="$"),   # final -ng stays ŋ (lang, jung)
+    # morpheme-internal ng is always ŋ (Junge, singen, Finger, Angst);
+    # only a particle+ge- participle boundary keeps n.g (angekommen,
+    # eingeladen, hingegen, ungefähr) — the n belongs to the particle
+    Rule("ng", "nɡ", pre="^(a|ei|hi|u)", post="e"),
+    Rule("ng", "ŋ"),
     # vocalized unstressed -er (Wasser, Vater); stressed monosyllables
     # (wer, schwer) are lexicon entries
     Rule("er", "ɐ", post="$", pre=".*[aeiouäöüy].*"),
@@ -1274,11 +1287,21 @@ _FR_RULES = [
     Rule("un", "œ̃", post="[^aeiounmhéèêy]|$"), Rule("um", "œ̃", post="[pb]"),
     Rule("eau", "o"), Rule("au", "o"), Rule("ou", "u"), Rule("oi", "wa"),
     Rule("ui", "ɥi"),  # nuit, suis, lui (qu-/ou- handled earlier)
-    Rule("ai", "ɛ"), Rule("ei", "ɛ"), Rule("eu", "ø"),
+    # i before a pronounced vowel glides (ciel, avion, rivière, pied);
+    # word-final -ie keeps the vowel (vie, amie)
+    Rule("i", "j", pre="[^aeiouéèêëœy]", post="[aàâoôéèê]|e(?!s?$)"),
+    Rule("ai", "ɛ"), Rule("ei", "ɛ"),
+    # eu in a closed final syllable is open (fleur, jeune, neuf, fleuve);
+    # open syllables and -euse/-eux keep ø (peu, heureux, chanteuse)
+    Rule("eu", "œ", post="[rlfvn]e?s?$"),
+    Rule("eu", "ø"),
+    Rule("ot", "o", post="s?$"),   # mot, pot: closed o, silent t
+    Rule("ps", "", post="$"),      # corps, temps: silent ps cluster
     Rule("o", "o", post="s[eé]"),  # chose, rose: closed o before /z/
     Rule("ch", "ʃ"), Rule("ph", "f"), Rule("th", "t"), Rule("qu", "k"),
     Rule("gu", "ɡ", post="[eèéêi]"),
     Rule("c", "s", post="[eèéêiy]"), Rule("ç", "s"), Rule("c", "k"),
+    Rule("g", "", post="$"),       # long, sang: silent final g
     Rule("g", "ʒ", post="[eèéêiy]"), Rule("g", "ɡ"),
     Rule("j", "ʒ"), Rule("h", ""),
     Rule("s", "z", pre="[aeiouéèêy]", post="[aeiouéèêy]"),
@@ -1286,6 +1309,9 @@ _FR_RULES = [
     Rule("es", "", post="$", pre="[^aeiou]"),  # silent plural/verb endings
     Rule("er", "e", post="$"), Rule("ez", "e", post="$"),
     Rule("et", "ɛ", post="$"),
+    Rule("ed", "e", post="s?$"),   # pied, assied: closed e, silent d
+    # e before a single final consonant is open (ciel, sel, avec)
+    Rule("e", "ɛ", post="[^aeiouéèêëàâîïôûù]$"),
     # final e is silent when the word has an earlier vowel (rouge -> ʁuʒ);
     # monosyllables keep their schwa (le, de, que)
     Rule("e", "", post="$", pre="[aeiouyéèêëàâîïôûù].*"),
