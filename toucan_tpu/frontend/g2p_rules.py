@@ -305,10 +305,19 @@ _IT_RULES = [
     Rule("sci", "ʃ", post="[aouàòù]"), Rule("sce", "ʃe"), Rule("sci", "ʃi"),
     Rule("sch", "sk"),
     Rule("gli", "ʎ", post="[aeou]"), Rule("gli", "ʎi"), Rule("gn", "ɲ"),
+    Rule("chi", "kj", post="[aeou]"),  # chiesa, occhio, chiudere
     Rule("chi", "ki"), Rule("che", "ke"), Rule("ch", "k"),
+    Rule("ghi", "ɡj", post="[aeou]"),  # ghiaccio
     Rule("ghi", "ɡi"), Rule("ghe", "ɡe"), Rule("gh", "ɡ"),
+    Rule("cie", "tʃe"),  # orthographic i: cielo, società (no glide)
+    # geminate affricates read stop+affricate (braccio -> ttʃ, oggi ->
+    # ddʒ, pizza -> tts), not doubled affricates
+    Rule("cci", "ttʃ", post="[aouàòù]"), Rule("cc", "ttʃ", post="[eèéi]"),
+    Rule("ggi", "ddʒ", post="[aouàòù]"), Rule("gg", "ddʒ", post="[eèéi]"),
+    Rule("zz", "tts"),
     Rule("ci", "tʃ", post="[aouàòù]"), Rule("gi", "dʒ", post="[aouàòù]"),
     Rule("c", "tʃ", post="[eèéi]"), Rule("c", "k"),
+    Rule("gu", "ɡw", post="[aeio]"),   # lingua, guardare
     Rule("g", "dʒ", post="[eèéi]"), Rule("g", "ɡ"),
     Rule("sb", "zb"), Rule("sd", "zd"), Rule("sg", "zɡ"), Rule("sl", "zl"),
     Rule("sm", "zm"), Rule("sn", "zn"), Rule("sr", "zr"), Rule("sv", "zv"),
@@ -342,6 +351,26 @@ _IT_LEXICON = {
     "festa": "fˈɛsta", "terra": "tˈɛrra", "guerra": "ɡwˈɛrra",
     "forte": "fˈɔrte", "morte": "mˈɔrte", "posto": "pˈɔsto",
     "nostro": "nˈɔstro", "vostro": "vˈɔstro", "piede": "pjˈɛde",
+    # proparoxytones (sdrucciole) the penult default cannot know, hiatus
+    # zio/zia, and more lexical open vowels (round-5 fixture audit)
+    "tavolo": "tˈavolo", "tavoli": "tˈavoli", "camera": "kˈamera",
+    "camere": "kˈamere", "macchina": "mˈakkina", "macchine": "mˈakkine",
+    "zucchero": "tsˈukkero", "uomini": "wˈɔmini", "piccolo": "pˈikkolo",
+    "piccola": "pˈikkola", "piccoli": "pˈikkoli", "piccole": "pˈikkole",
+    "debole": "dˈebole", "deboli": "dˈeboli", "facile": "fˈatʃile",
+    "facili": "fˈatʃili", "difficile": "diffˈitʃile",
+    "difficili": "diffˈitʃili", "giovane": "dʒˈovane",
+    "giovani": "dʒˈovani", "prendere": "prˈɛndere",
+    "leggere": "lˈɛddʒere", "scrivere": "skrˈivere",
+    "chiudere": "kjˈudere", "vivere": "vˈivere", "credere": "krˈedere",
+    "essere": "ˈɛssere", "aereo": "aˈɛreo", "zio": "tsˈio",
+    "zia": "tsˈia", "cosa": "kˈɔsa", "cose": "kˈɔse",
+    "modo": "mˈɔdo", "modi": "mˈɔdi", "popolo": "pˈɔpolo",
+    "numero": "nˈumero", "numeri": "nˈumeri", "ultimo": "ˈultimo",
+    "ultima": "ˈultima", "subito": "sˈubito", "musica": "mˈuzika",
+    "medico": "mˈɛdiko", "sabato": "sˈabato", "albero": "ˈalbero",
+    "alberi": "ˈalberi", "oggi": "ˈɔddʒi", "cielo": "tʃˈɛlo",
+    "chiesa": "kjˈɛsa", "chiese": "kjˈɛse",
     "pietra": "pjˈɛtra", "vecchio": "vˈɛkkjo", "occhio": "ˈɔkkjo",
     "occhi": "ˈɔkki", "petto": "pˈɛtto", "erba": "ˈɛrba",
     "tempo": "tˈɛmpo", "gente": "dʒˈɛnte", "niente": "njˈɛnte",
