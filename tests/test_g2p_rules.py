@@ -439,7 +439,7 @@ def test_roman_numerals_romance():
     assert "katˈɔʁz" in phonemize_rules("Louis XIV", "fr")
     assert "kwˈattro" in phonemize_rules("capitolo IV", "it")
     assert "vˈi\u0303tɨ" in phonemize_rules("século XX", "pt")  # EP reduction
-    assert "vˈi\u0303ti" in phonemize_rules("século XX", "pt-br")
+    assert "vˈi\u0303tʃi" in phonemize_rules("século XX", "pt-br")  # BR palatalized ti
     assert "beintjˈuno" not in phonemize_rules("un CD nuevo", "es")
     # no Roman reading outside the Romance languages ("MIX" stays a word)
     assert "tsˈeːn" not in phonemize_rules("der X Faktor", "de")

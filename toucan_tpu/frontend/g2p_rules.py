@@ -250,9 +250,15 @@ def stress_portuguese(word: str, ipa: str) -> str:
         return ipa
     # nasal-diphthong endings (-ão, -ãe, -õe + plurals) are final-stressed
     if re.search(r"(ão|ãe|õe)s?$", word):
-        return stress_final(word, ipa)
-    return stress_penult(word, ipa) if re.search(r"[aeoms]$|am$|em$", word) \
-        else stress_final(word, ipa)
+        out = stress_final(word, ipa)
+    else:
+        out = stress_penult(word, ipa) \
+            if re.search(r"[aeos]$|am$|em$", word) \
+            else stress_final(word, ipa)
+    # i/u + nasal vowel form one run but the nasal carries the
+    # stress (crianca -> kɾiˈɐ̃sɐ, aviao -> ɐviˈɐ̃w); plain hiatus
+    # keeps the high vowel stressed (dia -> dˈiɐ)
+    return re.sub("ˈ([iu])(.̃)", r"\1ˈ\2", out, count=1)
 
 
 def stress_italian(word: str, ipa: str) -> str:
@@ -1175,29 +1181,37 @@ _PT_RULES = [
     Rule("lh", "ʎ"), Rule("nh", "ɲ"), Rule("ch", "ʃ"), Rule("rr", "ʁ"),
     Rule("ss", "s"), Rule("qu", "k", post="[eéêií]"), Rule("qu", "kw"),
     Rule("gu", "ɡ", post="[eéêií]"),
+    Rule("gu", "ɡw", post="[aoáóâô]"),  # água, guardar
     # nasal vowels use the inventory's combining-tilde modifier (a nasal
     # flag on the preceding vowel), never precomposed codepoints
     Rule("ão", "ɐ̃w"), Rule("õe", "õj"), Rule("ãe", "ɐ̃j"),
+    Rule("a", "ɐ", post="nh"),  # palatal raising: banho, montanha
+    Rule("ín", "ˈĩ", post="[^aeiouáéíóúh]"),  # língua
     Rule("am", "ɐ̃w", post="$"), Rule("em", "ẽj", post="$"),
-    Rule("an", "ɐ̃", post="[^aeiouáéíóú]"), Rule("am", "ɐ̃", post="[pb]"),
-    Rule("en", "ẽ", post="[^aeiouáéíóú]"), Rule("em", "ẽ", post="[pb]"),
+    Rule("an", "ɐ̃", post="[^aeiouáéíóúh]"), Rule("am", "ɐ̃", post="[pb]"),
+    Rule("en", "ẽ", post="[^aeiouáéíóúh]"), Rule("em", "ẽ", post="[pb]"),
     # word-final im/om/um nasalize (sim, bom, um); the [pb] context is a
     # separate rule because $ inside a character class is a literal dollar
-    Rule("in", "ĩ", post="[^aeiouáéíóú]"),
+    Rule("in", "ĩ", post="[^aeiouáéíóúh]"),
     Rule("im", "ĩ", post="$"), Rule("im", "ĩ", post="[pb]"),
-    Rule("on", "õ", post="[^aeiouáéíóú]"),
+    Rule("on", "õ", post="[^aeiouáéíóúh]"),
     Rule("om", "õ", post="$"), Rule("om", "õ", post="[pb]"),
-    Rule("un", "ũ", post="[^aeiouáéíóú]"),
+    Rule("un", "ũ", post="[^aeiouáéíóúh]"),
     Rule("um", "ũ", post="$"), Rule("um", "ũ", post="[pb]"),
     Rule("c", "s", post="[eéêií]"), Rule("ç", "s"), Rule("c", "k"),
     Rule("g", "ʒ", post="[eéêií]"), Rule("g", "ɡ"), Rule("j", "ʒ"),
-    Rule("x", "ʃ"), Rule("z", "z"), Rule("h", ""),
+    Rule("x", "ʃ"),
+    Rule("z", "s", post="$"),  # BR final z devoices (nariz, feliz)
+    Rule("z", "z"), Rule("h", ""),
+    # BR dental palatalization: t/d before i (incl. final -e read as i):
+    # dia, cidade, noite (EP filters these out below)
+    Rule("t", "tʃ", post="i|e$"), Rule("d", "dʒ", post="i|e$"),
     Rule("s", "z", pre="[aeiouáéíóúâêô]", post="[aeiouáéíóúâêô]"),
     Rule("s", "z", post="[bdgmnlrvzj]"),  # mesmo -> mezmu (EP ʒ overrides)
-    Rule("s", "ʃ", post="$"), Rule("s", "s"),
+    Rule("s", "s"),  # BR plain final s (EP: EU rule -> ʃ)
     Rule("oi", "oj"), Rule("ai", "aj"), Rule("ei", "ej"), Rule("au", "aw"),
+    Rule("éu", "ˈɛw"), Rule("eu", "ew"),  # céu, meu
     Rule("ou", "o"),  # monophthongized in both variants (outro, falou)
-    Rule("e", "ɛ", post="r$"),  # colher, mulher
     Rule("r", "ʁ", pre="^"), Rule("r", "ʁ", post="$"), Rule("r", "ɾ"),
     Rule("o", "u", post="$"), Rule("e", "i", post="$"),
     Rule("e", "i", pre="^", post="s[^aeiouáéíóú]"),  # escola -> iskɔla
@@ -1219,13 +1233,19 @@ _PT_DIGITS = ["zero", "um", "dois", "três", "quatro", "cinco", "seis",
 _PT_LEXICON = {
     "escola": "iskˈɔlɐ", "escolas": "iskˈɔlɐʃ", "bola": "bˈɔlɐ",
     "festa": "fˈɛʃtɐ", "pedra": "pˈɛdɾɐ", "terra": "tˈɛʁɐ",
-    "guerra": "ɡˈɛʁɐ", "porta": "pˈɔɾtɐ", "morte": "mˈɔɾti",
-    "forte": "fˈɔɾti", "nove": "nˈɔvi", "sete": "sˈɛti",
-    "dez": "dˈɛʃ", "ela": "ˈɛlɐ", "ele": "ˈeli", "avó": "avˈɔ",
+    "guerra": "ɡˈɛʁɐ", "porta": "pˈɔɾtɐ", "morte": "mˈɔɾtʃi",
+    "forte": "fˈɔɾtʃi", "nove": "nˈɔvi", "sete": "sˈɛtʃi",
+    "dez": "dˈɛs", "ela": "ˈɛlɐ", "ele": "ˈeli", "avó": "avˈɔ",
     "avô": "avˈo", "pé": "pˈɛ", "só": "sˈɔ",
     # the nh digraph + -entos stress (the ruleset mis-parses these) and
     # the unstressed conjunction (numbers.py joins scale groups with "e")
     "quinhentos": "kiɲˈẽtuʃ", "quinhentas": "kiɲˈẽtɐʃ", "e": "i",
+    # -er nouns with open ɛ (the -er verb default is closed e)
+    "mulher": "muʎˈɛʁ", "mulheres": "muʎˈɛɾiʃ", "colher": "kuʎˈɛʁ",
+    "qualquer": "kwalkˈɛʁ", "homem": "ˈomẽj", "homens": "ˈomẽjʃ",
+    "sol": "sˈɔl", "perna": "pˈɛɾnɐ", "pernas": "pˈɛɾnɐʃ",
+    "velho": "vˈɛʎu", "velha": "vˈɛʎɐ", "velhos": "vˈɛʎuʃ",
+    "velhas": "vˈɛʎɐʃ", "jovem": "ʒˈɔvẽj", "jovens": "ʒˈɔvẽjʃ",
 }
 
 # --- European Portuguese ("pt"; "pt-br" keeps the Brazilian-flavored base
@@ -1235,6 +1255,9 @@ _PT_LEXICON = {
 # assignment (``stress_portuguese_eu``).  Reference behavior: espeak's
 # distinct pt vs pt-br voices behind TextFrontend.py:490-525.
 _PT_EU_ONLY = [
+    Rule("em", "ɐ̃j", post="$"),  # bem, homem: EP (BR: ẽj)
+    Rule("z", "ʃ", post="$"),  # nariz, feliz: EP final devoicing
+    Rule("s", "ʃ", post="$"),  # EP final s -> ʃ (dois, olhos)
     Rule("e", "ɨ", post="$"),                      # morte -> mˈɔɾtɨ
     Rule("e", "ɨ", pre="^", post="s[^aeiouáéíóú]"),  # escola -> ɨʃkˈɔlɐ
     Rule("s", "ʃ", post="[pçtkfqc]"),              # estar -> ɨʃtˈaɾ
@@ -1244,13 +1267,16 @@ _PT_EU_RULES = _PT_EU_ONLY + [
     r for r in _PT_RULES
     if not (r.src == "e" and r.post == "$" and not r.pre)
     and not (r.src == "e" and r.pre == "^")
+    and not (r.ipa in ("tʃ", "dʒ"))  # no BR dental palatalization in EP
 ]
 
 _PT_EU_LEXICON = dict(_PT_LEXICON)
 _PT_EU_LEXICON.update({
     "escola": "ɨʃkˈɔlɐ", "escolas": "ɨʃkˈɔlɐʃ", "morte": "mˈɔɾtɨ",
     "forte": "fˈɔɾtɨ", "nove": "nˈɔvɨ", "sete": "sˈɛtɨ", "ele": "ˈelɨ",
-    "festa": "fˈɛʃtɐ", "e": "i",  # the conjunction is /i/ in EP
+    "festa": "fˈɛʃtɐ", "e": "i", "dez": "dˈɛʃ",  # the conjunction is /i/ in EP
+    "homem": "ˈɔmɐ̃j", "homens": "ˈɔmɐ̃jʃ", "mulheres": "muʎˈɛɾɨʃ",
+    "jovem": "ʒˈɔvɐ̃j", "jovens": "ʒˈɔvɐ̃jʃ",
 })
 
 
