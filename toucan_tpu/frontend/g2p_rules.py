@@ -524,16 +524,33 @@ _PL_DIGITS = ["zero", "jeden", "dwa", "trzy", "cztery", "pięć", "sześć",
 # ---------------------------------------------------------------------------
 
 _NL_RULES = [
+    Rule("schr", "sxr"),  # schrijven
     Rule("sch", "sx", post="[aeiou]"), Rule("sch", "s"),  # final -sch = /s/
+    # suffix -(e)lijk reads with schwas (lelijk -> leːlək, makkelijk)
+    Rule("elijk", "ələk", post="(e|s|ə)?$"), Rule("lijk", "lək", post="(e|s)?$"),
+    Rule("eren", "ərən", post="$"), Rule("enen", "ənən", post="$"),
+    Rule("elen", "ələn", post="$"),  # luisteren, openen, wandelen
+    # degemination: doubled consonants are one sound (the doubling only
+    # signals the short preceding vowel, which the context rules see in
+    # the original graphemes)
+    Rule("pp", "p"), Rule("tt", "t"), Rule("kk", "k"), Rule("ff", "f"),
+    Rule("ss", "s"), Rule("ll", "l"), Rule("mm", "m"), Rule("nn", "n"),
+    Rule("rr", "r"), Rule("gg", "ɣ"), Rule("dd", "d"), Rule("bb", "b"),
+    Rule("th", "t"),  # thee, thuis
+    Rule("ouw", "ʌu", post="$"), Rule("auw", "ʌu", post="$"),  # vrouw, blauw
     Rule("ieuw", "iʋ"), Rule("ooi", "oːi"), Rule("aai", "aːi"),
     Rule("ij", "ɛi"), Rule("ei", "ɛi"), Rule("ui", "œy"), Rule("ou", "ʌu"),
-    Rule("au", "ʌu"), Rule("oe", "u"), Rule("eu", "ø"), Rule("ie", "i"),
-    Rule("aa", "aː"), Rule("ee", "eː"), Rule("oo", "oː"), Rule("uu", "y"),
+    Rule("au", "ʌu"), Rule("oei", "ui"), Rule("oe", "u"),
+    Rule("eu", "øː", post="r"),  # deur, kleur: tense before r
+    Rule("eu", "ø"), Rule("ie", "i"),
+    Rule("aa", "aː"), Rule("ee", "eː"), Rule("oo", "oː"),
+    Rule("uu", "yː", post="r"), Rule("uu", "y"),  # vuur: tense before r
     Rule("ng", "ŋ"), Rule("nk", "ŋk"), Rule("ch", "x"),
     # unstressed-syllable schwa (the prefix must already contain a vowel:
     # stressed monosyllables like "ben"/"wel" keep ɛ)
     Rule("e", "ə", post="[lnr]?$", pre=".*[aeiou].*"),
     Rule("u", "y", post="$"),  # nu, u
+    Rule("a", "aː", post="$"), Rule("o", "oː", post="$"),  # opa, auto
     # open-syllable lengthening: single vowel + single consonant + vowel
     # (water -> ʋaːtər, leven -> leːvən, deze -> deːzə)
     Rule("a", "aː", post="[bdfgklmnprstvz][aeiou]"),
@@ -543,9 +560,12 @@ _NL_RULES = [
     Rule("i", "ɪ"), Rule("o", "ɔ"), Rule("u", "ʏ"), Rule("y", "i"),
     Rule("b", "b"), Rule("c", "s", post="[ei]"), Rule("c", "k"),
     Rule("d", "t", post="$"), Rule("d", "d"),
+    Rule("fd", "ft", post="$"),   # hoofd: the d devoices, f stays f
     Rule("f", "v", post="[bd]"),  # regressive voicing: liefde -> livdə
     Rule("f", "f"),
-    Rule("g", "x", post="$"), Rule("g", "ɣ"), Rule("h", "ɦ"),
+    Rule("g", "x", post="$"),
+    Rule("g", "x", post="[tkpsf]"),  # vliegtuig: devoiced before voiceless
+    Rule("g", "ɣ"), Rule("h", "ɦ"),
     Rule("j", "j"), Rule("k", "k"),
     Rule("l", "l"), Rule("m", "m"), Rule("n", "n"), Rule("p", "p"),
     Rule("q", "k"), Rule("r", "r"), Rule("s", "s"), Rule("t", "t"),
@@ -559,6 +579,11 @@ _NL_DIGITS = ["nul", "een", "twee", "drie", "vier", "vijf", "zes", "zeven",
 # Dutch loanword stress exceptions (initial-stress default misfires)
 _NL_LEXICON = {
     "miljoen": "mɪljˈun", "miljard": "mɪljˈɑrt",
+    "rivier": "rivˈir", "lelijk": "lˈeːlək", "lelijke": "lˈeːləkə", "citroen": "sitrˈun", "tomaat": "toːmˈaːt",
+    "familie": "famˈili", "wereld": "ʋˈeːrəlt", "muziek": "myzˈik",
+    "station": "staːʃˈɔn", "kantoor": "kɑntˈoːr", "papier": "paːpˈir",
+    "natuur": "naːtˈyːr", "minuut": "minˈyt", "seconde": "səkˈɔndə",
+    "politie": "poːlˈitsi", "vakantie": "vaːkˈɑnsi",
 }
 
 # ---------------------------------------------------------------------------
