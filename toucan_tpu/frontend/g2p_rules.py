@@ -480,8 +480,16 @@ _HU_DIGITS = ["nulla", "egy", "kettő", "három", "négy", "öt", "hat", "hét",
 # Polish (ʂ-series merged to ʃ-series like the reference replacements)
 # ---------------------------------------------------------------------------
 
+# exception words (irregular cluster simplifications)
+_PL_WORD_LEXICON = {
+    "jabłko": "jˈapkɔ", "jabłka": "jˈapka",  # the ł is silent here
+}
+
 _PL_RULES = [
     Rule("dzi", "dʑ", post="[aeouąęó]"), Rule("dzi", "dʑi"),
+    # final voiced affricates devoice (odpowiedź -> ...tɕ, widz -> ts)
+    Rule("dź", "tɕ", post="$"), Rule("dż", "tʃ", post="$"),
+    Rule("dz", "ts", post="$"),
     Rule("dź", "dʑ"), Rule("dż", "dʒ"), Rule("dz", "dz"),
     Rule("ci", "tɕ", post="[aeouąęó]"), Rule("ci", "tɕi"),
     Rule("si", "ɕ", post="[aeouąęó]"), Rule("si", "ɕi"),
@@ -489,7 +497,9 @@ _PL_RULES = [
     Rule("ni", "ɲ", post="[aeouąęó]"), Rule("ni", "ɲi"),
     Rule("sz", "ʃ"), Rule("cz", "tʃ"), Rule("rz", "ʃ", pre="[ptk]"),
     Rule("rz", "ʒ"), Rule("ch", "x"),
-    Rule("ć", "tɕ"), Rule("ś", "ɕ"), Rule("ź", "ʑ"), Rule("ń", "ɲ"),
+    Rule("ć", "tɕ"), Rule("ś", "ɕ"), Rule("ń", "ɲ"),
+    Rule("ź", "ɕ", post="[ćcptksśfh]|$"),  # znaleźć, weź: devoiced
+    Rule("ź", "ʑ"),
     # obstruent devoicing: word-finally and before voiceless consonants
     # (książka -> kɕɔ̃ʃka, chleb -> xlɛp, twoja -> tfɔja) — fully regular
     # in standard Polish
@@ -497,8 +507,9 @@ _PL_RULES = [
     Rule("ł", "w"),
     Rule("w", "f", post="[ptkcsśćfh]|$"), Rule("w", "f", pre="[ptkcsśćfh]"),
     Rule("w", "v"),
-    Rule("b", "p", post="$"), Rule("d", "t", post="$"),
-    Rule("g", "k", post="$"), Rule("z", "s", post="$"),
+    Rule("b", "p", post="[ptkcsśćfh]|$"),
+    Rule("d", "t", post="[ptkcsśćfh]|$"),  # odpowiedź -> ɔtp...
+    Rule("g", "k", post="[ptcsśćfh]|$"), Rule("z", "s", post="$"),
     # nasal vowels decompose before plosives (ęk -> ɛŋk, ąt -> ɔnt) and ę
     # denasalizes word-finally (standard Warsaw pronunciation)
     Rule("ą", "ɔŋ", post="[kg]"), Rule("ą", "ɔn", post="[tdc]"),
@@ -1757,7 +1768,7 @@ def _language(lang: str) -> Language:
         "fi": (_FI_RULES, stress_initial, _FI_DIGITS, {}),
         "el": (_EL_RULES, stress_marked_only, _EL_DIGITS, {}),
         "hu": (_HU_RULES, stress_initial, _HU_DIGITS, {}),
-        "pl": (_PL_RULES, stress_penult, _PL_DIGITS, {}),
+        "pl": (_PL_RULES, stress_penult, _PL_DIGITS, _PL_WORD_LEXICON),
         "nl": (_NL_RULES, stress_dutch, _NL_DIGITS, _NL_LEXICON),
         "de": (_DE_RULES, stress_german, _DE_DIGITS, _DE_LEXICON),
         "ru": (_RU_RULES, stress_russian, _RU_DIGITS, _RU_LEXICON),
