@@ -391,7 +391,7 @@ def test_ordinal_markers_read_as_ordinal_words():
         ("fr", "la 3e fois", "tʁwazjˈɛm"), ("fr", "le 10e jour", "dizjˈɛm"),
         ("nl", "de 3e keer", "dˈɛrdə"), ("nl", "de 21ste eeuw", "ˈeːnɛntʋɪntɪxstə"),
         ("de", "der 3. Mai", "dʁˈɪtə"), ("de", "die 2te Runde", "tsvˈaɪtə"),
-        ("ru", "3-й день", "trˈetij"), ("ru", "2-я улица", "vtɐrˈajɐ"),
+        ("ru", "3-й день", "trˈetij"), ("ru", "2-я улица", "ftɐrˈajɐ"),
         ("ru", "1-го мая", "pˈervɐvɐ"),     # genitive -ого reads with /v/
         ("uk", "1-го травня", "pˈɛrʃɔɦɔ"),
         ("uk", "3-й день", "trˈɛtij"),
@@ -507,7 +507,7 @@ def test_metric_units_read_in_rule_languages():
     assert pr_contains("1 km", "es", "kilˈometɾo")
     assert pr_contains("5 km", "de", "kiloːmˈeːtɐ")
     assert pr_contains("2 kg", "it", "kiloɡrˈammi")
-    assert pr_contains("5 km", "ru", "kilɐmˈetrɐv")
+    assert pr_contains("5 km", "ru", "kilɐmˈetrɐf")
     assert pr_contains("21 km", "ru", "kilɐmˈetr")  # 21 -> singular
     assert pr_contains("2 kg", "uk", "kilɔɦrˈamɪ")    # paucal
     from toucan_tpu.frontend.symbols import expand_symbols

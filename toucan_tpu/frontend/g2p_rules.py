@@ -784,6 +784,14 @@ _RU_STRESS = {
     # stressed о/а of миллиОн/миллиАрд lives in run 1
     "миллион": 1, "миллиона": 1, "миллионов": 1, "миллиард": 1,
     "миллиарда": 1, "миллиардов": 1, "тысячу": 0, "половина": 2,
+    "сестра": 1, "дедушка": 0, "бабушка": 0, "нога": 1, "ухо": 0,
+    "волосы": 0, "тело": 0, "теплый": 0, "холодный": 1, "длинный": 0,
+    "короткий": 1, "высокий": 1, "низкий": 0, "слабый": 0, "быстрый": 0,
+    "медленный": 0, "легкий": 0, "трудный": 0, "счастливый": 1,
+    "грустный": 0, "желтый": 0, "синий": 0, "приходить": 2,
+    "находить": 2, "открывать": 2, "закрывать": 2, "курица": 0,
+    "картошка": 1, "поздно": 0, "водка": 0, "известный": 1, "идти": 1,
+    "чувство": 0, "сердце": 0, "праздник": 0, "лестница": 0,
     # frequent polysyllables (late round-4 band: verbs of saying/motion,
     # body/kinship nouns, geography)
     "сказал": 1, "сказала": 1, "можно": 0, "нужно": 0, "хороший": 1,
@@ -1154,6 +1162,12 @@ _RU_LEXICON = {
     "того": "tovo", "всего": "vsevo", "ничего": "nitɕevo",
     "никого": "nikovo", "сегодня": "sevodna",
     "конечно": "koneʃno", "скучно": "skuʃno",
+    # silent-consonant clusters (лнц/рдц/здн/стн/вств) + сч = щ
+    "солнце": "sontse", "сердце": "sertse", "праздник": "praznik",
+    "лестница": "lesnitsa", "счастливый": "ɕːaslivɨj",
+    "здравствуйте": "zdrastvujte", "чувство": "tɕustvo",
+    "поздно": "pozno", "грустный": "ɡrusnɨj", "известный": "izvesnɨj",
+    "идти": "itti",
 }
 
 _RU_RULES = [
@@ -1166,6 +1180,16 @@ _RU_RULES = [
     Rule("я", "ja", pre="^|[аеёиоуыэюяъь]"), Rule("я", "a"),
     Rule("а", "a"), Rule("и", "i"), Rule("о", "o"), Rule("у", "u"),
     Rule("ы", "ɨ"), Rule("э", "e"),
+    # obstruent voicing assimilation (fully regular): final devoicing
+    # (хлеб -> xlep, друг -> druk), devoicing before voiceless (водка ->
+    # votka, ложка -> loʃka), voicing before voiced obstruents except в
+    # (сделать -> zdelat, вокзал -> voɡzal)
+    Rule("б", "p", post="[кпстфхцчшщ]|$"), Rule("в", "f", post="[кпстфхцчшщ]|$"),
+    Rule("г", "k", post="[кпстфхцчшщ]|$"), Rule("д", "t", post="[кпстфхцчшщ]|$"),
+    Rule("ж", "ʃ", post="[кпстфхцчшщ]|$"), Rule("з", "s", post="[кпстфхцчшщ]|$"),
+    Rule("зд", "st", post="$"),  # поезд: the whole cluster devoices
+    Rule("с", "z", post="[бгдзж]"), Rule("к", "ɡ", post="[бгдзж]"),
+    Rule("т", "d", post="[бгдзж]"), Rule("п", "b", post="[бгдзж]"),
     Rule("б", "b"), Rule("в", "v"), Rule("г", "ɡ"), Rule("д", "d"), Rule("ж", "ʒ"), Rule("з", "z"),
     Rule("й", "j"), Rule("к", "k"), Rule("л", "l"), Rule("м", "m"),
     Rule("н", "n"), Rule("п", "p"), Rule("р", "r"), Rule("с", "s"),
