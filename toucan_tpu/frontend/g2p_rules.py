@@ -977,6 +977,9 @@ _UK_STRESS = {
     "Ñ‚Ð¸ÑÑÑ‡Ð°": 0, "Ñ‚Ð¸ÑÑÑ‡Ñ–": 0, "Ñ‚Ð¸ÑÑÑ‡": 0, "Ð¾Ð´Ð½Ð°": 1, "Ð´Ð²Ñ–": 0,
     "Ð¼Ñ–Ð»ÑŒÐ¹Ð¾Ð½": 1, "Ð¼Ñ–Ð»ÑŒÐ¹Ð¾Ð½Ð¸": 1, "Ð¼Ñ–Ð»ÑŒÐ¹Ð¾Ð½Ñ–Ð²": 1,
     "Ð¼Ñ–Ð»ÑŒÑÑ€Ð´Ð¸": 1, "Ð¼Ñ–Ð»ÑŒÑÑ€Ð´Ñ–Ð²": 1,
+    "Ð²Ð¾Ð³Ð¾Ð½ÑŒ": 1, "Ð¼Ñ–ÑÑÑ†ÑŒ": 0, "Ð¿Ð¾Ñ—Ð·Ð´": 0, "Ð»Ñ–Ñ‚Ð°Ðº": 1, "Ñ…Ð¾Ñ€Ð¾ÑˆÐ¸Ð¹": 1,
+    "Ñ‚Ñ–Ð»Ð¾": 0, "Ð¿Ñ€Ð¸Ñ…Ð¾Ð´Ð¸Ñ‚Ð¸": 1, "Ð´Ð°Ð²Ð°Ñ‚Ð¸": 1, "Ð·Ð½Ð°Ñ…Ð¾Ð´Ð¸Ñ‚Ð¸": 1,
+    "Ð²Ñ–Ð´ÐºÑ€Ð¸Ð²Ð°Ñ‚Ð¸": 2, "Ð·Ð°ÐºÑ€Ð¸Ð²Ð°Ñ‚Ð¸": 2, "Ð´Ñ–Ð²Ñ‡Ð¸Ð½Ð°": 0, "Ñ…Ð»Ð¾Ð¿ÐµÑ†ÑŒ": 0,
     "ÐºÐ¾Ð¼Ð°": 0, "Ð²Ñ–Ð´ÑÐ¾Ñ‚ÐºÑ–Ð²": 1, "Ð´Ð¾Ð»Ð°Ñ€Ñ–Ð²": 0, "Ð³Ñ€Ð°Ð´ÑƒÑÑ–Ð²": 0,
     # frequent polysyllables (late round-4 band)
     "Ð¶Ð¸Ñ‚Ñ‚Ñ": 1, "Ð¼Ð¾Ð¶Ð½Ð°": 0, "Ð¿Ð¾Ñ‚Ñ€Ñ–Ð±Ð½Ð¾": 1, "ÑÐ¿Ñ€Ð°Ð²Ð°": 0, "Ð¼Ñ–ÑÑ†Ðµ": 0,
@@ -1211,6 +1214,12 @@ _RU_DIGITS = ["Ð½Ð¾Ð»ÑŒ", "Ð¾Ð´Ð¸Ð½", "Ð´Ð²Ð°", "Ñ‚Ñ€Ð¸", "Ñ‡ÐµÑ‚Ñ‹Ñ€Ðµ", "Ð¿ÑÑ
 # coda allophone is approximated).  Lexical stress needs a lexicon and is
 # left unmarked like ru (documented approximation).
 # ---------------------------------------------------------------------------
+
+# lexical Ð³-devoicing exceptions (the only ones in standard Ukrainian)
+_UK_LEXICON = {
+    "Ð»ÐµÐ³ÐºÐ¸Ð¹": "lÉ›xkËˆÉªj", "Ð»ÐµÐ³ÐºÐ¾": "lËˆÉ›xkÉ”", "Ð²Ð¾Ð³ÐºÐ¾": "Ê‹ËˆÉ”xkÉ”",
+    "Ð½Ñ–Ð³Ñ‚Ñ–": "nËˆixti", "ÐºÑ–Ð³Ñ‚Ñ–": "kËˆixti",
+}
 
 _UK_RULES = [
     Rule("Ð´Ð¶", "dÊ’"), Rule("Ð´Ð·", "dz"),
@@ -1796,7 +1805,7 @@ def _language(lang: str) -> Language:
         "nl": (_NL_RULES, stress_dutch, _NL_DIGITS, _NL_LEXICON),
         "de": (_DE_RULES, stress_german, _DE_DIGITS, _DE_LEXICON),
         "ru": (_RU_RULES, stress_russian, _RU_DIGITS, _RU_LEXICON),
-        "uk": (_UK_RULES, stress_ukrainian, _UK_DIGITS, {}),
+        "uk": (_UK_RULES, stress_ukrainian, _UK_DIGITS, _UK_LEXICON),
         "pt": (_PT_EU_RULES, stress_portuguese_eu, _PT_DIGITS, _PT_EU_LEXICON),
         "pt-br": (_PT_RULES, stress_portuguese, _PT_DIGITS, _PT_LEXICON),
         "fr": (_FR_RULES, stress_french, _FR_DIGITS, _FR_LEXICON),
