@@ -269,6 +269,15 @@ def stress_marked_only(word: str, ipa: str) -> str:
     return ipa
 
 
+def stress_greek(word: str, ipa: str) -> str:
+    """Tonos carries the stress; monosyllables are written without one
+    (γη, φως) but are stressed content words all the same."""
+    if PRIMARY_STRESS in ipa:
+        return ipa
+    runs = _vowel_runs(ipa)
+    return _insert_stress(ipa, 0) if len(runs) == 1 else ipa
+
+
 @dataclass
 class Language:
     rules: RuleSet
@@ -458,6 +467,7 @@ _HU_RULES = [
     Rule("dzs", "dʒ"),
     Rule("cs", "tʃ"), Rule("sz", "s"), Rule("zs", "ʒ"), Rule("gy", "ɟ"),
     Rule("ty", "c"), Rule("ny", "ɲ"), Rule("ly", "j"), Rule("dz", "dz"),
+    Rule("ss", "ʃː"),  # lassú: geminate ʃ (plain s = ʃ; ssz = sː)
     Rule("tt", "tː"), Rule("kk", "kː"), Rule("pp", "pː"), Rule("ll", "lː"),
     Rule("nn", "nː"), Rule("mm", "mː"), Rule("rr", "rː"), Rule("zz", "zː"),
     Rule("ff", "fː"), Rule("bb", "bː"), Rule("dd", "dː"), Rule("gg", "ɡː"),
@@ -1799,7 +1809,7 @@ def _language(lang: str) -> Language:
         "es": (_ES_RULES, stress_spanish, _ES_DIGITS, {}),
         "it": (_IT_RULES, stress_italian, _IT_DIGITS, _IT_LEXICON),
         "fi": (_FI_RULES, stress_initial, _FI_DIGITS, {}),
-        "el": (_EL_RULES, stress_marked_only, _EL_DIGITS, {}),
+        "el": (_EL_RULES, stress_greek, _EL_DIGITS, {}),
         "hu": (_HU_RULES, stress_initial, _HU_DIGITS, {}),
         "pl": (_PL_RULES, stress_penult, _PL_DIGITS, _PL_WORD_LEXICON),
         "nl": (_NL_RULES, stress_dutch, _NL_DIGITS, _NL_LEXICON),
