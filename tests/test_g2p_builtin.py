@@ -195,7 +195,7 @@ def test_english_units_fractions_ranges_years_roman():
     # ranges read as "to"
     assert "tˈu tu θɹˈi" in g("2-3 weeks")
     # years: two-pair style in year contexts, cardinal elsewhere
-    assert "nˈaɪntin ˈeɪti fɔɹ" in g("in 1984")
+    assert "nˈaɪntin ˈeɪti fˈɔɹ" in g("in 1984")
     assert "twˈɛnti twˈɛnti fˈaɪv" in g("the year 2025")
     assert "θˈaʊzənd sˈɛvən" in g("in 2007")
     assert "ˈoʊ sˈɪks" in g("since 1906")
@@ -203,7 +203,7 @@ def test_english_units_fractions_ranges_years_roman():
     # Roman numerals after a capitalized word; lone I stays the pronoun
     assert "tˈu" in g("World War II")
     assert "ˈeɪt" in g("Henry VIII")
-    assert "fɔɹ" in g("Chapter IV")
+    assert "fˈɔɹ" in g("Chapter IV")
     assert g("World War I").endswith("aɪ")
 
 

@@ -65,45 +65,45 @@ _EXCEPTIONS = {
     "so": "soʊ", "some": "sʌm", "her": "hɜɹ", "would": "wʊd",
     "make": "mˈeɪk", "like": "lˈaɪk", "him": "hɪm", "into": "ˈɪntu",
     "time": "tˈaɪm", "has": "hæz", "look": "lˈʊk", "two": "tˈu",
-    "more": "mɔɹ", "write": "ɹˈaɪt", "go": "ɡoʊ", "see": "si",
-    "no": "noʊ", "way": "weɪ", "could": "kʊd", "people": "pˈipəl",
+    "more": "mˈɔɹ", "write": "ɹˈaɪt", "go": "ɡˈoʊ", "see": "sˈi",
+    "no": "nˈoʊ", "way": "wˈeɪ", "could": "kʊd", "people": "pˈipəl",
     "my": "maɪ", "than": "ðæn", "first": "fˈɜɹst", "water": "wˈɔtəɹ",
-    "been": "bɪn", "who": "hu", "its": "ɪts", "now": "naʊ",
-    "find": "fˈaɪnd", "long": "lˈɔŋ", "down": "daʊn", "day": "deɪ",
-    "did": "dɪd", "get": "ɡɛt", "come": "kˈʌm", "made": "mˈeɪd",
+    "been": "bɪn", "who": "hu", "its": "ɪts", "now": "nˈaʊ",
+    "find": "fˈaɪnd", "long": "lˈɔŋ", "down": "dˈaʊn", "day": "dˈeɪ",
+    "did": "dɪd", "get": "ɡˈɛt", "come": "kˈʌm", "made": "mˈeɪd",
     "may": "meɪ", "any": "ˈɛni", "very": "vˈɛɹi", "after": "ˈæftəɹ",
-    "where": "wɛɹ", "most": "moʊst", "through": "θɹu", "our": "aʊɹ",
+    "where": "wɛɹ", "most": "mˈoʊst", "through": "θɹu", "our": "aʊɹ",
     "good": "ɡˈʊd", "me": "mi", "give": "ɡˈɪv", "does": "dʌz",
     "another": "ənˈʌðəɹ", "even": "ˈivən", "because": "bɪkˈʌz",
-    "here": "hiɹ", "why": "waɪ", "again": "əɡˈɛn", "move": "mˈuv",
+    "here": "hˈiɹ", "why": "waɪ", "again": "əɡˈɛn", "move": "mˈuv",
     "something": "sˈʌmθɪŋ", "thought": "θˈɔt", "both": "boʊθ",
-    "once": "wˈʌns", "hear": "hiɹ", "often": "ˈɔfən", "example": "ɪɡzˈæmpəl",
+    "once": "wˈʌns", "hear": "hˈiɹ", "often": "ˈɔfən", "example": "ɪɡzˈæmpəl",
     "together": "təɡˈɛðəɹ", "group": "ɡɹˈup", "always": "ˈɔlweɪz",
     "those": "ðoʊz", "only": "ˈoʊnli", "little": "lˈɪtəl", "work": "wˈɜɹk",
-    "know": "noʊ", "place": "plˈeɪs", "year": "jiɹ", "live": "lˈɪv",
+    "know": "nˈoʊ", "place": "plˈeɪs", "year": "jˈiɹ", "live": "lˈɪv",
     "back": "bˈæk", "gives": "ɡˈɪvz", "world": "wˈɜɹld", "put": "pˈʊt",
-    "own": "ˈoʊn", "says": "sˈɛz", "great": "ɡɹˈeɪt", "new": "nu",
+    "own": "ˈoʊn", "says": "sˈɛz", "great": "ɡɹˈeɪt", "new": "nˈu",
     "sound": "sˈaʊnd", "take": "tˈeɪk", "every": "ˈɛvɹi", "under": "ˈʌndəɹ",
     "also": "ˈɔlsoʊ", "found": "fˈaʊnd", "women": "wˈɪmən",
-    "woman": "wˈʊmən", "want": "wˈɑnt", "show": "ʃoʊ", "around": "əɹˈaʊnd",
-    "form": "fɔɹm", "three": "θɹˈi", "small": "smˈɔl", "large": "lˈɑɹdʒ",
+    "woman": "wˈʊmən", "want": "wˈɑnt", "show": "ʃˈoʊ", "around": "əɹˈaʊnd",
+    "form": "fˈɔɹm", "three": "θɹˈi", "small": "smˈɔl", "large": "lˈɑɹdʒ",
     "must": "mʌst", "big": "bˈɪɡ", "off": "ɔf", "came": "kˈeɪm",
     "should": "ʃʊd", "mr": "mˈɪstəɹ", "mrs": "mˈɪsɪz", "laugh": "lˈæf",
     "eye": "aɪ", "eyes": "aɪz", "heart": "hˈɑɹt", "earth": "ˈɜɹθ",
     "friend": "fɹˈɛnd", "done": "dˈʌn", "gone": "ɡˈɔn", "none": "nˈʌn",
     "learn": "lˈɜɹn", "early": "ˈɜɹli", "heard": "hˈɜɹd", "sure": "ʃʊɹ",
-    "four": "fɔɹ", "buy": "baɪ", "busy": "bˈɪzi", "business": "bˈɪznəs",
+    "four": "fˈɔɹ", "buy": "baɪ", "busy": "bˈɪzi", "business": "bˈɪznəs",
     "pause": "pˈɔz", "says'": "sˈɛz", "half": "hˈæf", "talk": "tˈɔk",
     "walk": "wˈɔk", "above": "əbˈʌv", "love": "lˈʌv", "front": "fɹˈʌnt",
     "month": "mˈʌnθ", "money": "mˈʌni", "son": "sˈʌn", "nothing": "nˈʌθɪŋ",
     "enough": "ɪnˈʌf", "young": "jˈʌŋ", "touch": "tˈʌtʃ", "blood": "blˈʌd",
-    "flood": "flˈʌd", "door": "dɔɹ", "floor": "flɔɹ", "island": "ˈaɪlənd",
+    "flood": "flˈʌd", "door": "dˈɔɹ", "floor": "flˈɔɹ", "island": "ˈaɪlənd",
     "iron": "ˈaɪəɹn", "answer": "ˈænsəɹ", "beautiful": "bjˈutɪfəl",
     "sentence": "sˈɛntəns", "minute": "mˈɪnət", "usually": "jˈuʒuəli",
     "idea": "aɪdˈiə", "area": "ˈɛɹiə", "piece": "pˈis", "during": "dˈʊɹɪŋ",
     "ocean": "ˈoʊʃən", "machine": "məʃˈin", "complex": "kˈɑmplɛks",
     "science": "sˈaɪəns", "quite": "kwˈaɪt", "believe": "bɪlˈiv",
-    "whole": "hoʊl", "though": "ðoʊ", "tough": "tˈʌf", "cough": "kˈɔf",
+    "whole": "hˈoʊl", "though": "ðoʊ", "tough": "tˈʌf", "cough": "kˈɔf",
     "could've": "kˈʊdəv", "i'm": "aɪm", "i'll": "aɪl", "i've": "aɪv",
     "it's": "ɪts", "don't": "doʊnt", "doesn't": "dˈʌzənt",
     "can't": "kˈænt", "won't": "woʊnt", "isn't": "ˈɪzənt",
@@ -112,6 +112,26 @@ _EXCEPTIONS = {
     "that": "ðæt", "haven't": "hˈævənt", "over": "ˈoʊvəɹ",
     "watch": "wˈɑtʃ", "goes": "ɡoʊz", "yes": "jˈɛs", "oh": "ˈoʊ",
     "being": "bˈiɪŋ", "really": "ɹˈɪli",
+    # round-5 fixture audit: irregular vowels the rules cannot know
+    "father": "fˈɑðəɹ", "fathers": "fˈɑðəɹz",
+    "grandfather": "ɡɹˈændfɑðəɹ", "grandmother": "ɡɹˈændmʌðəɹ",
+    "language": "lˈæŋɡwɪdʒ", "languages": "lˈæŋɡwɪdʒɪz",
+    "tomato": "təmˈeɪtoʊ", "tomatoes": "təmˈeɪtoʊz",
+    "potato": "pətˈeɪtoʊ", "potatoes": "pətˈeɪtoʊz",
+    "onion": "ˈʌnjən", "onions": "ˈʌnjənz", "sugar": "ʃˈʊɡəɹ",
+    "salt": "sˈɔlt", "pear": "pˈɛɹ", "pears": "pˈɛɹz",
+    "bear": "bˈɛɹ", "wear": "wˈɛɹ", "low": "lˈoʊ", "slow": "slˈoʊ",
+    "grow": "ɡɹˈoʊ", "snow": "snˈoʊ", "throw": "θɹˈoʊ",
+    "flow": "flˈoʊ", "blow": "blˈoʊ", "open": "ˈoʊpən",
+    "difficult": "dˈɪfɪkəlt", "engage": "ɪnɡˈeɪdʒ", "upon": "əpˈɑn",
+    # -Cle with long vowel (the double-consonant collapse hides the
+    # short/long signal from the ruleset: apple vs maple)
+    "table": "tˈeɪbl", "tables": "tˈeɪblz", "able": "ˈeɪbl",
+    "unable": "ənˈeɪbl", "cable": "kˈeɪbl", "stable": "stˈeɪbl",
+    "fable": "fˈeɪbl", "maple": "mˈeɪpl", "staple": "stˈeɪpl",
+    "title": "tˈaɪtl", "titles": "tˈaɪtlz", "bible": "bˈaɪbl",
+    "idle": "ˈaɪdl", "rifle": "ɹˈaɪfl", "noble": "nˈoʊbl",
+    "cradle": "kɹˈeɪdl",
     # number words the letter-to-sound rules get wrong
     "zero": "zˈɪɹoʊ", "seven": "sˈɛvən", "seventy": "sˈɛvənti",
     "seventeen": "sˈɛvəntin", "seventh": "sˈɛvənθ",
@@ -176,6 +196,10 @@ _V = "[aeiouy]"
 _C = "[bcdfghjklmnpqrstvwxz]"
 
 _RULES = [
+    # round-5 additions (anchored contexts; the engine SEARCHES rc/lc)
+    ("age", ".*[aeiouy].*[a-z]", "s?$", "ɪdʒ"),  # village, message (not page)
+    ("en", ".*[aeiouy].*[a-z]", "s?$", "ən"),    # kitchen, garden, chicken
+    ("on", ".*[aeiouy].*[a-z]", "s?$", "ən"),    # person, lemon, common
     # --- multi-letter suffixes / clusters (longest first) ---
     ("ought", None, None, "ɔt"),
     ("aught", None, None, "ɔt"),
@@ -293,7 +317,9 @@ _RULES = [
     ("a", None, "l(l|w)", "ɔ"),      # all, always
     ("a", None, None, "æ"),
     ("e", None, "$", ""),            # silent final e
-    ("e", None, "d$", "ə"),          # -ed (engine refines to t/d/ɪd below)
+    # -ed suffix needs a stem with an earlier vowel (wanted, played) —
+    # monosyllables keep the full vowel (red, bed)
+    ("e", "[aeiouy]", "d$", "ə"),
     ("e", f"{_C}{_C}|{_V}{_C}", "s$", ""),  # silent e in -es after stem+cons
     ("e", None, None, "ɛ"),
     ("i", None, "nd$", "aɪ"),        # find, kind
