@@ -625,3 +625,19 @@ def test_millions_and_billions_all_languages():
     assert "mɪliˈoːn" in de_ipa  # Latinate stress, M intact
     ru_ipa = phonemize_rules("5000000", "ru")
     assert "millˈion" in ru_ipa  # stressed run, not flat
+
+
+def test_mandarin_word_level_readings():
+    """Neutral-tone suffixes/reduplications and common polyphones read at
+    the word level (pypinyin-style context), not char by char."""
+    from toucan_tpu.frontend.g2p_cmn import hanzi_to_pinyin
+
+    assert hanzi_to_pinyin("桌子") == "zhuo1 zi5"
+    assert hanzi_to_pinyin("妈妈") == "ma1 ma5"
+    assert hanzi_to_pinyin("睡觉") == "shui4 jiao4"   # 觉 jiao4 here
+    assert hanzi_to_pinyin("觉得") == "jue2 de5"      # ... but jue2 here
+    assert hanzi_to_pinyin("音乐") == "yin1 yue4"     # 乐 yue4 (not le4)
+    assert hanzi_to_pinyin("快乐") == "kuai4 le4"
+    assert hanzi_to_pinyin("银行") == "yin2 hang2"    # 行 hang2 (not xing2)
+    # word-level entries cooperate with sandhi and surrounding chars
+    assert hanzi_to_pinyin("我们都好") == "wo3 men5 dou1 hao3"

@@ -307,6 +307,7 @@ HANZI_PINYIN = {
     "土": "tu3", "木": "mu4", "林": "lin2", "森": "sen1", "田": "tian2",
     "鱼": "yu2", "鸟": "niao3", "虫": "chong2", "牛": "niu2", "羊": "yang2",
     "狗": "gou3", "猫": "mao1", "猪": "zhu1", "鸡": "ji1", "肉": "rou4",
+    "睛": "jing1", "啤": "pi2",
     "饭": "fan4", "菜": "cai4", "茶": "cha2", "酒": "jiu3", "汤": "tang1",
     "糖": "tang2", "盐": "yan2", "油": "you2", "米": "mi3", "蛋": "dan4",
     "奶": "nai3", "瓜": "gua1", "豆": "dou4", "树": "shu4", "叶": "ye4",
@@ -385,6 +386,42 @@ from toucan_tpu.frontend.hanzi_table import HANZI_PINYIN_EXT as _EXT
 for _ch, _reading in _EXT.items():
     HANZI_PINYIN.setdefault(_ch, _reading)
 
+# ---------------------------------------------------------------------------
+# Word-level readings (longest-match first): neutral-tone suffixes and
+# reduplications (桌子 zhuo1 zi5, 妈妈 ma1 ma5) and polyphones whose
+# common word reading differs from the char table's default (睡觉
+# jiao4).  pypinyin disambiguates these from context; this dictionary
+# covers the high-frequency cases first-party.
+# ---------------------------------------------------------------------------
+
+HANZI_WORDS = {
+    "睡觉": "shui4 jiao4", "觉得": "jue2 de5", "月亮": "yue4 liang5",
+    "漂亮": "piao4 liang5", "头发": "tou2 fa5", "窗户": "chuang1 hu5",
+    "葡萄": "pu2 tao5", "朋友": "peng2 you5", "星星": "xing1 xing5",
+    "耳朵": "er3 duo5", "眼睛": "yan3 jing5", "衣服": "yi1 fu5",
+    "喜欢": "xi3 huan5", "知识": "zhi1 shi5", "意思": "yi4 si5",
+    "东西": "dong1 xi5", "时候": "shi2 hou5", "地方": "di4 fang5",
+    "先生": "xian1 sheng5", "学生": "xue2 sheng5",
+    "告诉": "gao4 su5", "名字": "ming2 zi5", "因为": "yin1 wei4",
+    "什么": "shen2 me5", "怎么": "zen3 me5", "我们": "wo3 men5",
+    "你们": "ni3 men5", "他们": "ta1 men5", "她们": "ta1 men5",
+    "还是": "hai2 shi4", "还有": "hai2 you3", "银行": "yin2 hang2",
+    "便宜": "pian2 yi5", "快乐": "kuai4 le4", "音乐": "yin1 yue4",
+    "长大": "zhang3 da4", "大夫": "dai4 fu5", "干净": "gan1 jing4",
+}
+# kinship reduplications + -子 suffix nouns: generated neutral tones
+for _w, _py in [("爸爸", "ba4"), ("妈妈", "ma1"), ("哥哥", "ge1"),
+                ("姐姐", "jie3"), ("弟弟", "di4"), ("妹妹", "mei4"),
+                ("爷爷", "ye2"), ("奶奶", "nai3"), ("叔叔", "shu1"),
+                ("谢谢", "xie4")]:
+    HANZI_WORDS.setdefault(_w, _py + " " + _py[:-1] + "5")
+for _w in ["桌子", "椅子", "儿子", "鼻子", "孩子", "房子", "屋子",
+           "刀子", "筷子", "杯子", "瓶子", "盒子", "帽子", "袜子",
+           "裙子", "裤子", "句子", "样子", "本子", "包子", "饺子"]:
+    _head = HANZI_PINYIN.get(_w[0])
+    if _head:
+        HANZI_WORDS.setdefault(_w, _head + " zi5")
+
 _HAN_RX = re.compile(r"[一-鿿]")
 
 
@@ -407,7 +444,22 @@ def hanzi_to_pinyin(text: str, strict: bool = False) -> str:
     once-per-character warning.  ``strict=True`` restores the raising
     behaviour for callers that want hard coverage guarantees."""
     chars = []  # (hanzi | None, emitted text)
-    for ch in text:
+    i = 0
+    while i < len(text):
+        # word-level longest match first (neutral tones, polyphones)
+        matched = None
+        for wlen in (4, 3, 2):
+            cand = text[i:i + wlen]
+            if cand in HANZI_WORDS:
+                matched = cand
+                break
+        if matched:
+            for ch_, syl in zip(matched, HANZI_WORDS[matched].split()):
+                chars.append((ch_, syl))
+            i += len(matched)
+            continue
+        ch = text[i]
+        i += 1
         if _HAN_RX.match(ch):
             reading = HANZI_PINYIN.get(ch)
             if reading is None:
