@@ -1,0 +1,87 @@
+"""Sentence-level G2P fixtures: numerals, units, dates and acronyms mixed
+in running text (VERDICT r04 #5 — word lists alone miss the interactions:
+unit alias tables, date readings, thousands grouping, acronym spelling).
+
+Each case asserts (a) characteristic IPA fragments are present (numerals
+read as WORDS with the right morphology, units expand to unit words),
+(b) no raw digits or unit abbreviations leak into the phone stream, and
+(c) the full string phonemizes into inventory features without error.
+"""
+
+import re
+
+import pytest
+
+from toucan_tpu.frontend.g2p_en import phonemize_english
+from toucan_tpu.frontend.g2p_rules import phonemize_rules
+from toucan_tpu.frontend.text import TextFrontend
+
+CASES = [
+    ("en", "On 15 March 2024, the EU bought 25 kg of apples for $100.",
+     ["fˈɪftin", "twˈɛnti fˈaɪv", "kˈɪlɑɡɹæmz", "ˈi ju", "hˈʌndɹəd dˈɑləɹz"]),
+    ("es", "El 15 de marzo de 2024 compré 25 kg de manzanas por 100 €.",
+     ["kˈinθe", "beintiθˈinko", "kiloɡɾˈamos", "θjˈen", "ˈeuɾos"]),
+    ("de", "Am 3. März 2024 kaufte die EU 25 kg Äpfel für 100 €.",
+     ["dʁˈɪtə", "fˈʏnfʊndtsvantsɪç", "kiloːɡʁˈam", "ˈeː ˈuː",
+      "tsvˈaɪtaʊzɛndfiːʁʊndtsvantsɪç"]),
+    ("fr", "Le 15 mars 2024, j'ai acheté 25 kg de pommes pour 100 €.",
+     ["kˈɛ̃z", "vɛ̃sˈɛ̃", "kilɔɡʁˈam", "sˈɑ̃t"]),
+    ("it", "Il 15 marzo 2024 ho comprato 25 kg di mele per 100 €.",
+     ["kwindˈitʃi", "ventitʃˈiŋkwe", "kiloɡrˈammi", "tʃˈento",
+      "duemilaventikwˈattro"]),
+    ("pt", "Em 15 de março de 2024 comprei 25 kg de maçãs por 100 €.",
+     ["kˈĩzɨ", "vˈĩtɨ i sˈĩku", "kiluɡɾˈamɐʃ", "sˈɐ̃j"]),
+    ("nl", "Op 15 maart 2024 kocht ik 25 kg appels voor 100 €.",
+     ["vˈɛiftin", "vˈɛifɛntʋɪntɪx", "kˈɪlɔɣrɑm", "ɦˈɔndɛrt"]),
+    ("pl", "15 marca 2024 kupiłem 25 kg jabłek za 100 zł.",
+     ["pjɛntnˈaɕtɕɛ", "dvadʑˈɛɕtɕa pjˈɛ̃tɕ", "kilɔɡrˈamuf", "zwˈɔtɨx",
+      "dvˈa tɨɕˈɔntsɛ"]),
+    ("ru", "15 марта 2024 года я купил 25 кг яблок за 100 рублей.",
+     ["pɐtnˈattsɐt", "dvˈattsɐt pˈat", "kilɐɡrˈammɐf", "rublˈej",
+      "dvˈe tˈɨsɐtɕi"]),
+    ("uk", "15 березня 2024 року я купив 25 кг яблук за 100 гривень.",
+     ["pjatnˈadtsat", "dʋˈadtsat pjˈat", "kilɔɦrˈamiʋ", "ɦrˈɪʋɛn",
+      "dʋˈi tˈɪsatʃi"]),
+    ("fi", "Ostin 15 maaliskuuta 2024 25 kg omenoita 100 eurolla.",
+     ["ʋˈiːsitoista", "kˈaksikymːentæʋiːsi", "kˈiloɡramːaː", "sˈata"]),
+    ("hu", "Március 15-én vettem 25 kg almát 100 euróért.",
+     ["tˈizɛnøt", "hˈusonøt", "kˈiloɡrɒmː", "sˈaːz"]),
+    ("el", "Στις 15 Μαρτίου 2024 αγόρασα 25 κιλά μήλα με 100 €.",
+     ["ðekapˈende", "ˈikosi pˈende", "cilˈa", "ekatˈo",
+      "ðˈio çiʎˈaðes ˈikosi tˈeseɾa"]),
+    ("vi", "Ngày 15 tháng 3 năm 2024 tôi mua 25 kg táo.",
+     ["mɨəi˨˩ lɐm˧", "hai˧ mɨəi˧ lɐm˧", "ki˧ lo˧ ɣaːm˧"]),
+    ("fa", "من 25 کیلوگرم سیب خریدم.",
+     ["bˈist vˈæ pˈændʒ", "kiluɡerˈæm", "xæridˈæm"]),
+]
+
+
+@pytest.mark.parametrize("lang,sentence,fragments",
+                         CASES, ids=[c[0] for c in CASES])
+def test_sentence_with_numerals_units_dates(lang, sentence, fragments):
+    import unicodedata
+
+    out = (phonemize_english(sentence) if lang == "en"
+           else phonemize_rules(sentence, lang))
+    out_n = unicodedata.normalize("NFD", out)
+    for frag in fragments:
+        frag_n = unicodedata.normalize("NFD", frag)
+        assert frag_n in out_n, f"{lang}: missing {frag!r} in {out!r}"
+    # no raw digits leak
+    assert not re.search(r"\d", out), out
+    # no raw unit abbreviations leak (kg as a standalone token)
+    assert not re.search(r"\bkg\b|\bкг\b|\bzł\b", out), out
+    # the full string runs through the feature frontend without error
+    fe = TextFrontend(language=lang)
+    feats = fe.string_to_features(sentence)
+    assert feats.shape[0] > 20
+
+
+def test_sentence_mandarin_numerals_and_units():
+    fe = TextFrontend(language="cmn")
+    from toucan_tpu.frontend.g2p_cmn import hanzi_to_pinyin
+
+    py = hanzi_to_pinyin("我买了25个苹果")
+    assert "er4 shi2 wu3" not in py  # digits expand later, in pinyin space
+    feats = fe.string_to_features("我买了25个苹果。")
+    assert feats.shape[0] > 10

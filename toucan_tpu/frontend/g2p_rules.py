@@ -800,7 +800,8 @@ _RU_STRESS = {
     "медленный": 0, "легкий": 0, "трудный": 0, "счастливый": 1,
     "грустный": 0, "желтый": 0, "синий": 0, "приходить": 2,
     "находить": 2, "открывать": 2, "закрывать": 2, "курица": 0,
-    "картошка": 1, "поздно": 0, "водка": 0, "известный": 1, "идти": 1,
+    "картошка": 1, "поздно": 0, "водка": 0, "купил": 1, "купила": 1,
+    "яблок": 0, "рубль": 0, "рубля": 1, "марта": 0, "января": 2, "известный": 1, "идти": 1,
     "чувство": 0, "сердце": 0, "праздник": 0, "лестница": 0,
     # frequent polysyllables (late round-4 band: verbs of saying/motion,
     # body/kinship nouns, geography)
@@ -988,6 +989,7 @@ _UK_STRESS = {
     "мільйон": 1, "мільйони": 1, "мільйонів": 1,
     "мільярди": 1, "мільярдів": 1,
     "вогонь": 1, "місяць": 0, "поїзд": 0, "літак": 1, "хороший": 1,
+    "року": 0, "купив": 1, "купила": 1, "яблук": 0, "гривень": 0,
     "тіло": 0, "приходити": 1, "давати": 1, "знаходити": 1,
     "відкривати": 2, "закривати": 2, "дівчина": 0, "хлопець": 0,
     "кома": 0, "відсотків": 1, "доларів": 0, "градусів": 0,
@@ -1680,6 +1682,7 @@ _FA_LEXICON = {
     "لطفا": "lotfæn", "لطفاً": "lotfæn", "خوب": "xub", "بد": "bæd",
     "بزرگ": "bozorɡ", "کوچک": "kutʃæk", "نو": "now", "کهنه": "kohne",
     "میلیون": "miljun", "میلیارد": "miljɒrd",
+    "کیلوگرم": "kiluɡeræm", "خریدم": "xæridæm", "خرید": "xærid",
     # everyday vocabulary with unwritten short vowels the skeleton
     # transducer cannot guess (round-5 fixture audit)
     "آتش": "ɒtæʃ", "پل": "pol", "صندلی": "sændæli",

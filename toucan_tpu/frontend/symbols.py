@@ -102,7 +102,8 @@ _UNIT_WORDS = {
               "ml": ("mililitro", "mililitros")},
     "nl": {"km": "kilometer", "cm": "centimeter", "mm": "millimeter",
            "kg": "kilogram", "mg": "milligram", "ml": "milliliter"},
-    "pl": {"km": ("kilometr", "kilometry", "kilometrów"),
+    "pl": {"zł": ("złoty", "złote", "złotych"),
+           "km": ("kilometr", "kilometry", "kilometrów"),
            "cm": ("centymetr", "centymetry", "centymetrów"),
            "mm": ("milimetr", "milimetry", "milimetrów"),
            "kg": ("kilogram", "kilogramy", "kilogramów"),
@@ -138,7 +139,12 @@ _UNIT_WORDS = {
            "kg": "کیلوگرم", "mg": "میلی گرم", "ml": "میلی لیتر"},
 }
 
-_UNIT_RX = re.compile(r"(\d+(?:[.,]\d+)?)\s?(km|cm|mm|kg|mg|ml)(?![\w])")
+# Cyrillic spellings alias to the same unit rows (ru/uk texts write кг)
+_UNIT_ALIAS = {"км": "km", "см": "cm", "мм": "mm", "кг": "kg",
+               "мг": "mg", "мл": "ml"}
+_UNIT_RX = re.compile(
+    r"(\d+(?:[.,]\d+)?)\s?(km|cm|mm|kg|mg|ml|км|см|мм|кг|мг|мл|zł)"
+    r"(?![\w])")
 
 _CURRENCY = "€$£"
 _DEGREE_SCALE = {"C": {"en": "Celsius", "de": "Celsius", "fr": "Celsius",
@@ -241,11 +247,12 @@ def expand_symbols(text: str, lang: str) -> str:
     units = _UNIT_WORDS.get(lang)
     if units:
         def unit_sub(m):
-            if m.group(2) not in units:
+            unit = _UNIT_ALIAS.get(m.group(2), m.group(2))
+            if unit not in units:
                 return m.group(0)
             n = num_of(m.group(1))
             amount = _apocope_amount(m.group(1), n, lang)
-            return f"{amount} {_count_form(units[m.group(2)], n)}"
+            return f"{amount} {_count_form(units[unit], n)}"
 
         text = _UNIT_RX.sub(unit_sub, text)
     for sym in "%&+" + _CURRENCY:
