@@ -48,3 +48,30 @@ def test_fold_roundtrip():
     x = jnp.arange(2 * 12 * 3, dtype=jnp.float32).reshape(2, 12, 3)
     np.testing.assert_array_equal(np.asarray(unfold_time(fold_time(x, 4), 4)),
                                   np.asarray(x))
+
+
+def test_packed_fold_conv_transpose_exact():
+    """packed_folded_conv_transpose (p input rows -> p*stride-packed
+    output rows) is exact vs the plain transposed conv."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from toucan_tpu.kernels.folded_conv import (fold_time,
+                                                packed_folded_conv_transpose,
+                                                unfold_time)
+    from toucan_tpu.models.vocoders.hifigan import conv_transpose_1d
+
+    rng = np.random.RandomState(0)
+    for (k, s, p, cin, cout, t) in [(4, 2, 2, 64, 32, 48),
+                                    (8, 4, 2, 16, 8, 24),
+                                    (16, 8, 2, 12, 6, 16),
+                                    (4, 2, 4, 32, 16, 64)]:
+        x = jnp.asarray(rng.randn(2, t, cin).astype(np.float32))
+        w = jnp.asarray(rng.randn(k, cout, cin).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.randn(cout).astype(np.float32))
+        ref = conv_transpose_1d(x, w, s, (k - s) // 2) + b
+        got = unfold_time(
+            packed_folded_conv_transpose(fold_time(x, p), w, b, s,
+                                         (k - s) // 2, p), p * s)
+        assert float(jnp.abs(ref - got).max()) < 1e-5, (k, s, p)

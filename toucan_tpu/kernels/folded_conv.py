@@ -133,3 +133,60 @@ def folded_conv_transpose(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
         x, wp, window_strides=(1,), padding=[(lo, hi)],
         dimension_numbers=("NHC", "HIO", "NHC"))
     return out + jnp.tile(b, stride)
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_fold_conv_transpose_index_map(k: int, stride: int, padding: int,
+                                          p: int):
+    """Index map for a transposed conv consuming p-packed input rows and
+    emitting (p*stride)-packed output rows.
+
+    y[t] = sum_j x[j] * w[t - j*s + pad]; with input j = v*p + a and
+    output t = u*p*s + r (a in [0,p), r in [0,p*s)), tap
+    m = r - q*p*s - a*s + pad for q = v - u must lie in [0, k).
+    """
+    s = stride
+    entries = []  # (q, a, r, m)
+    for r in range(p * s):
+        for a in range(p):
+            for q in range(-(k // (p * s)) - 2, k // (p * s) + 3):
+                m = r - q * p * s - a * s + padding
+                if 0 <= m < k:
+                    entries.append((q, a, r, m))
+    q_min = min(e[0] for e in entries)
+    q_max = max(e[0] for e in entries)
+    kp = q_max - q_min + 1
+    idx = np.full((kp, p, p * s), k, dtype=np.int32)  # k = zero-tap sentinel
+    for q, a, r, m in entries:
+        idx[q - q_min, a, r] = m
+    return idx, (-q_min, q_max)
+
+
+def packed_fold_conv_transpose_kernel(w: jnp.ndarray, stride: int,
+                                      padding: int, p: int):
+    """w (k, C_out, C_in) -> kernel (kp, p*C_in, p*stride*C_out) computing
+    the transposed conv directly from p-packed input rows into
+    (p*stride)-packed output rows: the MXU sees p*stride*C_out lanes
+    instead of stride*C_out (the final 64->32 upsampler's 64 lanes land
+    on 128 with p=2)."""
+    k, c_out, c_in = w.shape
+    idx, (lo, hi) = _packed_fold_conv_transpose_index_map(k, stride,
+                                                          padding, p)
+    w_ext = jnp.concatenate([w, jnp.zeros((1, c_out, c_in), w.dtype)])
+    wp = w_ext[jnp.asarray(idx)]  # (kp, p, p*s, C_out, C_in)
+    kp = idx.shape[0]
+    wp = wp.transpose(0, 1, 4, 2, 3).reshape(kp, p * c_in,
+                                             p * stride * c_out)
+    return wp, (lo, hi)
+
+
+def packed_folded_conv_transpose(x_packed: jnp.ndarray, w: jnp.ndarray,
+                                 b: jnp.ndarray, stride: int, padding: int,
+                                 p: int) -> jnp.ndarray:
+    """(B, T/p, p*C_in) -> (B, T/p, p*stride*C_out); unfold_time(out,
+    p*stride) equals the plain transposed conv exactly."""
+    wp, (lo, hi) = packed_fold_conv_transpose_kernel(w, stride, padding, p)
+    out = jax.lax.conv_general_dilated(
+        x_packed, wp, window_strides=(1,), padding=[(lo, hi)],
+        dimension_numbers=("NHC", "HIO", "NHC"))
+    return out + jnp.tile(b, p * stride)
