@@ -17,6 +17,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: repeat suite runs (and the many tests that
+# recompile identical tiny-config programs) skip XLA compilation, which
+# dominates this suite's wall clock.  Harmless on first run; gitignored.
+try:
+    _cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache_cpu")
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+except Exception:
+    pass
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REFERENCE_ROOT = "/root/reference"

@@ -28,9 +28,10 @@ def _randomize_biases(variables, seed=7):
 def test_sharded_longform_matches_unsharded():
     assert len(jax.devices()) == 8
     mesh = make_mesh(n_data=8, n_model=1)
-    vocoder = HiFiGANGenerator(channels=32)
+    vocoder = HiFiGANGenerator(channels=32, resblock_kernel_sizes=(11,),
+                               resblock_dilations=((1, 3, 5),))
     rng = jax.random.PRNGKey(0)
-    mel = np.random.RandomState(0).randn(512, 80).astype(np.float32)
+    mel = np.random.RandomState(0).randn(320, 80).astype(np.float32)
     variables = _randomize_biases(vocoder.init(rng, jnp.asarray(mel[None, :16])))
 
     expect = np.asarray(vocoder.apply(variables, jnp.asarray(mel[None])))[0, :, 0]
@@ -41,13 +42,14 @@ def test_sharded_longform_matches_unsharded():
 
 def test_sharded_longform_ragged_length():
     mesh = make_mesh(n_data=8, n_model=1)
-    vocoder = HiFiGANGenerator(channels=32)
+    vocoder = HiFiGANGenerator(channels=32, resblock_kernel_sizes=(11,),
+                               resblock_dilations=((1, 3, 5),))
     rng = jax.random.PRNGKey(0)
-    mel = np.random.RandomState(1).randn(515, 80).astype(np.float32)  # not /8
+    mel = np.random.RandomState(1).randn(323, 80).astype(np.float32)  # not /8
     variables = _randomize_biases(vocoder.init(rng, jnp.asarray(mel[None, :16])))
     expect = np.asarray(vocoder.apply(variables, jnp.asarray(mel[None])))[0, :, 0]
     got = synthesize_longform(vocoder, variables, mel, mesh)
-    assert len(got) == 515 * 384
+    assert len(got) == 323 * 384
     np.testing.assert_allclose(got, expect, atol=2e-5)
 
 
@@ -75,7 +77,8 @@ def test_sharded_longform_bigvgan():
 
 def test_sharded_longform_short_input_unsharded_fallback():
     mesh = make_mesh(n_data=8, n_model=1)
-    vocoder = HiFiGANGenerator(channels=32)
+    vocoder = HiFiGANGenerator(channels=32, resblock_kernel_sizes=(11,),
+                               resblock_dilations=((1, 3, 5),))
     rng = jax.random.PRNGKey(0)
     mel = np.random.RandomState(3).randn(100, 80).astype(np.float32)
     variables = _randomize_biases(vocoder.init(rng, jnp.asarray(mel[None, :16])))

@@ -74,7 +74,8 @@ from toucan_tpu.train.vocoder_train import (create_vocoder_train_state,
                                             make_sharded_vocoder_steps)
 from toucan_tpu.dist import make_global_batch
 
-gen = HiFiGANGenerator(channels=32)
+gen = HiFiGANGenerator(channels=32, resblock_kernel_sizes=(3,),
+                       resblock_dilations=((1, 3),))
 disc = AvocodoJointDiscriminator(channel_scale=0.05)
 v_state, v_opts = create_vocoder_train_state(jax.random.PRNGKey(0),
                                              generator=gen, discriminator=disc,

@@ -117,7 +117,8 @@ def test_vocoder_train_step_multichip():
 
     mesh = make_mesh(n_data=4, n_model=2)
     rng = jax.random.PRNGKey(0)
-    gen = HiFiGANGenerator(channels=32)
+    gen = HiFiGANGenerator(channels=32, resblock_kernel_sizes=(3,),
+                       resblock_dilations=((1, 3),))
     disc = AvocodoJointDiscriminator(channel_scale=0.05)
     state, opts = create_vocoder_train_state(rng, generator=gen,
                                              discriminator=disc,

@@ -48,7 +48,8 @@ def test_joint_discriminator_shapes():
 @pytest.mark.parametrize("adversarial", [False, True])
 def test_vocoder_train_step(adversarial):
     rng = jax.random.PRNGKey(0)
-    gen = HiFiGANGenerator(channels=32)
+    gen = HiFiGANGenerator(channels=32, resblock_kernel_sizes=(3,),
+                           resblock_dilations=((1, 3),))
     # a width-scaled joint discriminator + short segment keep the CPU test
     # compile tractable; production uses channel_scale=1.0 and 32 frames
     # (the exact reference widths/segment)
