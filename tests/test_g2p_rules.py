@@ -641,3 +641,13 @@ def test_mandarin_word_level_readings():
     assert hanzi_to_pinyin("银行") == "yin2 hang2"    # 行 hang2 (not xing2)
     # word-level entries cooperate with sandhi and surrounding chars
     assert hanzi_to_pinyin("我们都好") == "wo3 men5 dou1 hao3"
+
+
+def test_finnish_ordinal_dates():
+    """Finnish 'N.' reads as an ordinal only before a month name."""
+    ipa = phonemize_rules("15. maaliskuuta 2024", "fi")
+    assert "ʋˈiːdestoista" in ipa          # viidestoista, not viisitoista
+    ipa2 = phonemize_rules("Kello on 15. Menen kotiin.", "fi")
+    assert "ʋˈiːsitoista" in ipa2          # cardinal; period = punctuation
+    from toucan_tpu.frontend.numbers import number_to_ordinal
+    assert number_to_ordinal(31, "fi") == "kolmaskymmenesyhdes"

@@ -1883,6 +1883,11 @@ _ORDINAL_MARKERS = {
     "el": [(r"(\d+)(?:ης|η)\b", "f"), (r"(\d+)(?:ος|ού|ου)\b", "m"),
            (r"(\d+)ο\b", "n")],
 }
+# Finnish: "N." is an ordinal only in date position (before a month
+# name); elsewhere the period is sentence punctuation
+_ORDINAL_MARKERS["fi"] = [
+    (r"(\d+)\.\s?(?=(?:tammi|helmi|maalis|huhti|touko|kesä|heinä|elo|"
+     r"syys|loka|marras|joulu)kuu)", "m")]
 _ORDINAL_MARKERS["it"] = _ORDINAL_MARKERS["es"]
 _ORDINAL_MARKERS["pt"] = _ORDINAL_MARKERS["pt-br"] = _ORDINAL_MARKERS["es"]
 

@@ -858,7 +858,30 @@ def _el_gender(word: str, gender: str) -> str:
     return " ".join(parts)
 
 
+_FI_ORDINALS = {
+    1: "ensimmäinen", 2: "toinen", 3: "kolmas", 4: "neljäs", 5: "viides",
+    6: "kuudes", 7: "seitsemäs", 8: "kahdeksas", 9: "yhdeksäs",
+    10: "kymmenes", 11: "yhdestoista", 12: "kahdestoista",
+    13: "kolmastoista", 14: "neljästoista", 15: "viidestoista",
+    16: "kuudestoista", 17: "seitsemästoista", 18: "kahdeksastoista",
+    19: "yhdeksästoista", 20: "kahdeskymmenes", 30: "kolmaskymmenes",
+}
+_FI_ORD_UNITS = {1: "yhdes", 2: "kahdes", 3: "kolmas", 4: "neljäs",
+                 5: "viides", 6: "kuudes", 7: "seitsemäs",
+                 8: "kahdeksas", 9: "yhdeksäs"}
+
+
+def _fi_ordinal(n: int) -> str:
+    """Finnish ordinals 1..31 (date reading: '15. maaliskuuta')."""
+    if n in _FI_ORDINALS:
+        return _FI_ORDINALS[n]
+    if 21 <= n <= 31 and n % 10 in _FI_ORD_UNITS:
+        return _FI_ORDINALS[n // 10 * 10] + _FI_ORD_UNITS[n % 10]
+    raise ValueError(n)
+
+
 _ORDINAL_READERS = {
+    "fi": _fi_ordinal,
     "es": _es_ordinal, "it": _it_ordinal, "pt": _pt_ordinal,
     "pt-br": _pt_ordinal, "fr": _fr_ordinal, "nl": _nl_ordinal,
     "de": _de_ordinal, "ru": _ru_ordinal, "uk": _uk_ordinal,
