@@ -38,7 +38,7 @@ TARGET = 5000.0  # audio-seconds / s / chip (BASELINE.json north star)
 # left the default order.  Worst-case warm wall is now ~15 min for the
 # full record.
 SECTION_CAPS = {
-    "train": 480,           # mesh-sharded acoustic step: scaling anchor +
+    "train": 540,           # mesh-sharded acoustic step: scaling anchor +
                             # train throughput from one compile
     "train_vocoder": 480,   # vocoder GAN step, CPU-init + one compile
                             # (~350 s measured warm; the relay executable
