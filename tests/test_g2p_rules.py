@@ -651,3 +651,15 @@ def test_finnish_ordinal_dates():
     assert "ʋˈiːsitoista" in ipa2          # cardinal; period = punctuation
     from toucan_tpu.frontend.numbers import number_to_ordinal
     assert number_to_ordinal(31, "fi") == "kolmaskymmenesyhdes"
+
+
+def test_hungarian_ordinal_dates():
+    """Hungarian date-case suffixes fuse onto the ordinal word."""
+    from toucan_tpu.frontend.g2p_rules import _expand_ordinals
+
+    assert "tizenötödikén" in _expand_ordinals("március 15-én", "hu")
+    assert "elsején" in _expand_ordinals("1-jén", "hu")
+    assert "másodikán" in _expand_ordinals("2-án", "hu")  # vowel harmony
+    assert "harmadik" in _expand_ordinals("a 3. emeleten", "hu")
+    ipa = phonemize_rules("március 15-én", "hu")
+    assert "tˈizɛnøtødikeːn" in ipa

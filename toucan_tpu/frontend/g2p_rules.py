@@ -1888,6 +1888,11 @@ _ORDINAL_MARKERS = {
 _ORDINAL_MARKERS["fi"] = [
     (r"(\d+)\.\s?(?=(?:tammi|helmi|maalis|huhti|touko|kesä|heinä|elo|"
      r"syys|loka|marras|joulu)kuu)", "m")]
+# Hungarian date-case suffixes fuse onto the ordinal: 15-én ->
+# tizenötödikén, 1-jén -> elsején, 3-án -> harmadikán
+_ORDINAL_MARKERS["hu"] = [(r"(\d+)-j?én\b", "hu_en"),
+                          (r"(\d+)-[áé]n\b", "hu_en"),
+                          (r"(\d+)\.(?=\s+[a-záéíóöőüű])", "m")]
 _ORDINAL_MARKERS["it"] = _ORDINAL_MARKERS["es"]
 _ORDINAL_MARKERS["pt"] = _ORDINAL_MARKERS["pt-br"] = _ORDINAL_MARKERS["es"]
 
@@ -2030,10 +2035,18 @@ def _expand_ordinals(text: str, lang: str) -> str:
     def repl(gender):
         def go(m):
             try:
-                word = number_to_ordinal(int(m.group(1)), lang,
-                                         "m" if gender == "apoc" else gender)
+                word = number_to_ordinal(
+                    int(m.group(1)), lang,
+                    "m" if gender in ("apoc", "hu_en") else gender)
             except (KeyError, ValueError):
                 return m.group(0)
+            if gender == "hu_en":  # date case: 15-én -> tizenötödikén
+                if word == "első":
+                    word = "elsején"
+                elif word.endswith(("adik", "odik")):  # back-vowel harmony
+                    word += "án"
+                else:
+                    word += "én"
             if gender == "apoc":  # es 1er/3er: primer piso, tercer día
                 word = re.sub(r"(primero|tercero)$",
                               lambda w: w.group(1)[:-1], word)

@@ -880,8 +880,32 @@ def _fi_ordinal(n: int) -> str:
     raise ValueError(n)
 
 
+_HU_ORDINALS = {
+    1: "első", 2: "második", 3: "harmadik", 4: "negyedik", 5: "ötödik",
+    6: "hatodik", 7: "hetedik", 8: "nyolcadik", 9: "kilencedik",
+    10: "tizedik", 11: "tizenegyedik", 12: "tizenkettedik",
+    13: "tizenharmadik", 14: "tizennegyedik", 15: "tizenötödik",
+    16: "tizenhatodik", 17: "tizenhetedik", 18: "tizennyolcadik",
+    19: "tizenkilencedik", 20: "huszadik", 30: "harmincadik",
+}
+_HU_ORD_UNITS = {1: "egyedik", 2: "kettedik", 3: "harmadik",
+                 4: "negyedik", 5: "ötödik", 6: "hatodik", 7: "hetedik",
+                 8: "nyolcadik", 9: "kilencedik"}
+
+
+def _hu_ordinal(n: int) -> str:
+    """Hungarian ordinals 1..31 (date suffixes: 15-én -> tizenötödikén)."""
+    if n in _HU_ORDINALS:
+        return _HU_ORDINALS[n]
+    if 21 <= n <= 29:
+        return "huszon" + _HU_ORD_UNITS[n % 10]
+    if n == 31:
+        return "harmincegyedik"
+    raise ValueError(n)
+
+
 _ORDINAL_READERS = {
-    "fi": _fi_ordinal,
+    "fi": _fi_ordinal, "hu": _hu_ordinal,
     "es": _es_ordinal, "it": _it_ordinal, "pt": _pt_ordinal,
     "pt-br": _pt_ordinal, "fr": _fr_ordinal, "nl": _nl_ordinal,
     "de": _de_ordinal, "ru": _ru_ordinal, "uk": _uk_ordinal,
