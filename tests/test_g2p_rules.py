@@ -663,3 +663,14 @@ def test_hungarian_ordinal_dates():
     assert "harmadik" in _expand_ordinals("a 3. emeleten", "hu")
     ipa = phonemize_rules("március 15-én", "hu")
     assert "tˈizɛnøtødikeːn" in ipa
+
+
+def test_slavic_date_genitive_ordinals():
+    """Days before a genitive month read as ordinal genitives (standard
+    Russian/Ukrainian/Polish date reading espeak does not model)."""
+    assert "pɐtnˈattsɐtɐvɐ" in phonemize_rules("15 марта", "ru")
+    assert "pjatnˈadtsatɔɦɔ" in phonemize_rules("15 березня", "uk")
+    assert "pjɛntnastˈɛɡɔ" in phonemize_rules("15 marca", "pl")
+    # bare cardinals elsewhere stay cardinal
+    assert "dvˈattsɐt pˈat" in phonemize_rules("25 лет", "ru")
+    assert "pjɛntnˈaɕtɕɛ" in phonemize_rules("15 kilometrów", "pl")

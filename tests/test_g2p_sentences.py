@@ -34,8 +34,8 @@ CASES = [
     ("nl", "Op 15 maart 2024 kocht ik 25 kg appels voor 100 €.",
      ["vˈɛiftin", "vˈɛifɛntʋɪntɪx", "kˈɪlɔɣrɑm", "ɦˈɔndɛrt"]),
     ("pl", "15 marca 2024 kupiłem 25 kg jabłek za 100 zł.",
-     ["pjɛntnˈaɕtɕɛ", "dvadʑˈɛɕtɕa pjˈɛ̃tɕ", "kilɔɡrˈamuf", "zwˈɔtɨx",
-      "dvˈa tɨɕˈɔntsɛ"]),
+     ["pjɛntnastˈɛɡɔ", "dvadʑˈɛɕtɕa pjˈɛ̃tɕ", "kilɔɡrˈamuf", "zwˈɔtɨx",
+      "dvˈa tɨɕˈɔntsɛ"]),  # dates read the ordinal genitive
     ("ru", "15 марта 2024 года я купил 25 кг яблок за 100 рублей.",
      ["pɐtnˈattsɐt", "dvˈattsɐt pˈat", "kilɐɡrˈammɐf", "rublˈej",
       "dvˈe tˈɨsɐtɕi"]),

@@ -1893,6 +1893,21 @@ _ORDINAL_MARKERS["fi"] = [
 _ORDINAL_MARKERS["hu"] = [(r"(\d+)-j?én\b", "hu_en"),
                           (r"(\d+)-[áé]n\b", "hu_en"),
                           (r"(\d+)\.(?=\s+[a-záéíóöőüű])", "m")]
+# Slavic dates read the day as an ORDINAL GENITIVE before a genitive
+# month name (пятнадцатого марта, piętnastego marca) — standard usage
+# espeak does not model; the bare cardinal elsewhere stays cardinal
+_RU_MONTHS_GEN = ("января|февраля|марта|апреля|мая|июня|июля|августа|"
+                  "сентября|октября|ноября|декабря")
+_UK_MONTHS_GEN = ("січня|лютого|березня|квітня|травня|червня|липня|"
+                  "серпня|вересня|жовтня|листопада|грудня")
+_PL_MONTHS_GEN = ("stycznia|lutego|marca|kwietnia|maja|czerwca|lipca|"
+                  "sierpnia|września|października|listopada|grudnia")
+_ORDINAL_MARKERS["ru"].insert(
+    0, (r"(\d+)(?=\s+(?:" + _RU_MONTHS_GEN + r")\b)", "g"))
+_ORDINAL_MARKERS["uk"].insert(
+    0, (r"(\d+)(?=\s+(?:" + _UK_MONTHS_GEN + r")\b)", "g"))
+_ORDINAL_MARKERS["pl"] = [
+    (r"(\d+)(?=\s+(?:" + _PL_MONTHS_GEN + r")\b)", "pl_gen")]
 _ORDINAL_MARKERS["it"] = _ORDINAL_MARKERS["es"]
 _ORDINAL_MARKERS["pt"] = _ORDINAL_MARKERS["pt-br"] = _ORDINAL_MARKERS["es"]
 
@@ -2040,6 +2055,9 @@ def _expand_ordinals(text: str, lang: str) -> str:
                     "m" if gender in ("apoc", "hu_en") else gender)
             except (KeyError, ValueError):
                 return m.group(0)
+            if gender == "pl_gen":  # 15 marca -> piętnastego marca
+                from toucan_tpu.frontend.numbers import pl_ordinal_genitive
+                word = pl_ordinal_genitive(word)
             if gender == "hu_en":  # date case: 15-én -> tizenötödikén
                 if word == "első":
                     word = "elsején"

@@ -904,8 +904,41 @@ def _hu_ordinal(n: int) -> str:
     raise ValueError(n)
 
 
+_PL_ORDINALS = {
+    1: "pierwszy", 2: "drugi", 3: "trzeci", 4: "czwarty", 5: "piąty",
+    6: "szósty", 7: "siódmy", 8: "ósmy", 9: "dziewiąty", 10: "dziesiąty",
+    11: "jedenasty", 12: "dwunasty", 13: "trzynasty", 14: "czternasty",
+    15: "piętnasty", 16: "szesnasty", 17: "siedemnasty", 18: "osiemnasty",
+    19: "dziewiętnasty", 20: "dwudziesty", 30: "trzydziesty",
+}
+
+
+def _pl_ordinal(n: int) -> str:
+    """Polish ordinals 1..31 (masculine nominative; the date reader
+    derives the genitive)."""
+    if n in _PL_ORDINALS:
+        return _PL_ORDINALS[n]
+    if 21 <= n <= 31 and n % 10:
+        return _PL_ORDINALS[n // 10 * 10] + " " + _PL_ORDINALS[n % 10]
+    raise ValueError(n)
+
+
+def pl_ordinal_genitive(word: str) -> str:
+    """pierwszy -> pierwszego, drugi -> drugiego (every word of a
+    compound ordinal inflects)."""
+    out = []
+    for w in word.split():
+        if w.endswith("y"):
+            out.append(w[:-1] + "ego")
+        elif w.endswith("i"):
+            out.append(w + "ego")
+        else:
+            out.append(w)
+    return " ".join(out)
+
+
 _ORDINAL_READERS = {
-    "fi": _fi_ordinal, "hu": _hu_ordinal,
+    "fi": _fi_ordinal, "hu": _hu_ordinal, "pl": _pl_ordinal,
     "es": _es_ordinal, "it": _it_ordinal, "pt": _pt_ordinal,
     "pt-br": _pt_ordinal, "fr": _fr_ordinal, "nl": _nl_ordinal,
     "de": _de_ordinal, "ru": _ru_ordinal, "uk": _uk_ordinal,
