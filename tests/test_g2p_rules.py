@@ -674,3 +674,19 @@ def test_slavic_date_genitive_ordinals():
     # bare cardinals elsewhere stay cardinal
     assert "dvˈattsɐt pˈat" in phonemize_rules("25 лет", "ru")
     assert "pjɛntnˈaɕtɕɛ" in phonemize_rules("15 kilometrów", "pl")
+
+
+def test_mandarin_symbol_reading():
+    """%, currency, degrees and metric units read as hanzi words (espeak's
+    zh voice behavior: percent PREFIXES the number)."""
+    fe = TextFrontend(language="cmn")
+    assert "pai fən ʈʂɨ u ʂɨ" in fe.get_phone_string(
+        "50%", for_feature_extraction=False)          # 百分之五十
+    assert "mei jɛn" in fe.get_phone_string(
+        "$100", for_feature_extraction=False)         # 美元 after amount
+    assert "ʂɤ ʂɨ tu" in fe.get_phone_string(
+        "30°C", for_feature_extraction=False)         # 摄氏度
+    assert "kʊŋ tɕin" in fe.get_phone_string(
+        "25kg", for_feature_extraction=False)         # 公斤
+    out = fe.get_phone_string("50%", for_feature_extraction=False)
+    assert "%" not in out

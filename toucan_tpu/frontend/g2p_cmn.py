@@ -307,7 +307,8 @@ HANZI_PINYIN = {
     "土": "tu3", "木": "mu4", "林": "lin2", "森": "sen1", "田": "tian2",
     "鱼": "yu2", "鸟": "niao3", "虫": "chong2", "牛": "niu2", "羊": "yang2",
     "狗": "gou3", "猫": "mao1", "猪": "zhu1", "鸡": "ji1", "肉": "rou4",
-    "睛": "jing1", "啤": "pi2",
+    "睛": "jing1", "啤": "pi2", "镑": "bang4", "摄": "she4",
+    "毫": "hao2",
     "饭": "fan4", "菜": "cai4", "茶": "cha2", "酒": "jiu3", "汤": "tang1",
     "糖": "tang2", "盐": "yan2", "油": "you2", "米": "mi3", "蛋": "dan4",
     "奶": "nai3", "瓜": "gua1", "豆": "dou4", "树": "shu4", "叶": "ye4",
@@ -421,6 +422,27 @@ for _w in ["桌子", "椅子", "儿子", "鼻子", "孩子", "房子", "屋子",
     _head = HANZI_PINYIN.get(_w[0])
     if _head:
         HANZI_WORDS.setdefault(_w, _head + " zi5")
+
+def expand_symbols_cmn(text: str) -> str:
+    """Rewrite %, currency, degree and metric-unit symbols into hanzi
+    BEFORE the reading table runs (espeak's zh voice reads 50% as
+    百分之五十 — percent PREFIXES the number in Chinese; currency names
+    follow the amount)."""
+    text = re.sub(r"(\d+(?:[.,]\d+)?)\s*%", r"百分之\1", text)
+    for sym, word in (("$", "美元"), ("€", "欧元"), ("£", "英镑")):
+        text = re.sub(re.escape(sym) + r"\s*(\d+(?:[.,]\d+)?)",
+                      r"\1" + word, text)
+        text = re.sub(r"(\d+(?:[.,]\d+)?)\s*" + re.escape(sym),
+                      r"\1" + word, text)
+    text = text.replace("°C", "摄氏度").replace("°F", "华氏度")
+    text = re.sub(r"(\d)\s*°", r"\1度", text)
+    text = re.sub(r"(\d+(?:[.,]\d+)?)\s*(km|cm|mm|kg|mg|ml)(?![\w])",
+                  lambda m: m.group(1) + {"km": "公里", "cm": "厘米",
+                                          "mm": "毫米", "kg": "公斤",
+                                          "mg": "毫克",
+                                          "ml": "毫升"}[m.group(2)], text)
+    return text
+
 
 _HAN_RX = re.compile(r"[一-鿿]")
 

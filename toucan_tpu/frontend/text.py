@@ -198,6 +198,8 @@ class TextFrontend:
         if self.language == "fr":
             return remove_french_spacing(text)
         if self.language == "cmn":
+            from toucan_tpu.frontend.g2p_cmn import expand_symbols_cmn
+            text = expand_symbols_cmn(text)
             try:
                 from toucan_tpu.utils.optional import optional_import
                 pinyin = optional_import("pypinyin").pinyin
