@@ -119,6 +119,8 @@ def ctc_loss(logits, logit_lengths, labels, label_lengths,
     s = labels.shape[1]
     logit_pad = (jnp.arange(t)[None, :] >= logit_lengths[:, None]).astype(jnp.float32)
     label_pad = (jnp.arange(s)[None, :] >= label_lengths[:, None]).astype(jnp.float32)
+    labels = labels.astype(jnp.int32)  # tokens arrive float from some
+    # cache paths; optax one-hots them and warns on float input
     per_seq = optax.ctc_loss(logits, logit_pad, labels, label_pad, blank_id=blank_id)
     per_seq = jnp.where(jnp.isinf(per_seq), 0.0, per_seq)  # zero_infinity
     return jnp.mean(per_seq / jnp.maximum(label_lengths, 1))
