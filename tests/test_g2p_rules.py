@@ -690,3 +690,12 @@ def test_mandarin_symbol_reading():
         "25kg", for_feature_extraction=False)         # 公斤
     out = fe.get_phone_string("50%", for_feature_extraction=False)
     assert "%" not in out
+
+
+def test_slavic_oov_suffix_stress():
+    """OOV suffix-class stress fallbacks (beyond the top-500 lexicons)."""
+    assert "mˈatsijɐ" in phonemize_rules("информация", "ru")
+    assert "mˈitɕɪskij" in phonemize_rules("экономический", "ru")
+    assert "zˈatsija" in phonemize_rules("організація", "uk")
+    assert "ʋˈatɪ" in phonemize_rules("будувати", "uk")
+    assert "mˈitʃnɪj" in phonemize_rules("економічний", "uk")

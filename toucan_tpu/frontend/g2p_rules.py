@@ -930,6 +930,10 @@ def _ru_suffix_stress(word: str, n_runs: int):
         return max(n_runs - 2, 0)
     if word.endswith("ировать"):             # фотографИровать
         return max(n_runs - 3, 0)
+    if word.endswith(("ация", "яция", "ации", "ация", "ацию", "яции")):
+        return max(n_runs - 3, 0)            # информАция, организАция
+    if word.endswith(("ический", "ическая", "ические", "ическое")):
+        return max(n_runs - 3, 0)            # экономИческий
     return None
 
 
@@ -1154,6 +1158,19 @@ _UK_STRESS.update({
 })
 
 
+def _uk_suffix_stress(word: str, n_runs: int):
+    """Ukrainian OOV suffix classes with near-deterministic stress."""
+    if n_runs < 2:
+        return None
+    if word.endswith(("вати", "вання")):     # працювАти, будувАння class
+        return max(n_runs - 2, 0)
+    if word.endswith(("ація", "яція", "ації", "ацію")):
+        return max(n_runs - 3, 0)            # організАція
+    if word.endswith(("ичний", "ічний", "ична", "ічна")):
+        return max(n_runs - 2, 0)            # економІчний (і + ий = 2 runs)
+    return None
+
+
 def stress_ukrainian(word: str, ipa: str) -> str:
     if PRIMARY_STRESS in ipa:
         return ipa
@@ -1163,6 +1180,8 @@ def stress_ukrainian(word: str, ipa: str) -> str:
     if len(runs) == 1:
         return _insert_stress(ipa, 0)
     idx = _UK_STRESS.get(word)
+    if idx is None:
+        idx = _uk_suffix_stress(word, len(runs))
     if idx is None:
         return ipa
     return _insert_stress(ipa, min(idx, len(runs) - 1))
