@@ -386,6 +386,13 @@ _IT_LEXICON = {
     "medico": "mˈɛdiko", "sabato": "sˈabato", "albero": "ˈalbero",
     "alberi": "ˈalberi", "oggi": "ˈɔddʒi", "cielo": "tʃˈɛlo",
     "chiesa": "kjˈɛsa", "chiese": "kjˈɛse",
+    "testa": "tˈɛsta", "teste": "tˈɛste", "finestra": "finˈɛstra",
+    "finestre": "finˈɛstre", "sorella": "sorˈɛlla",
+    "sorelle": "sorˈɛlle", "fratello": "fratˈɛllo",
+    "fratelli": "fratˈɛlli", "vento": "vˈɛnto", "centro": "tʃˈɛntro",
+    "centri": "tʃˈɛntri", "treno": "trˈɛno", "treni": "trˈɛni",
+    "pera": "pˈɛra", "pere": "pˈɛre", "sedia": "sˈɛdja",
+    "sedie": "sˈɛdje", "ferro": "fˈɛrro", "erba": "ˈɛrba",
     "pietra": "pjˈɛtra", "vecchio": "vˈɛkkjo", "occhio": "ˈɔkkjo",
     "occhi": "ˈɔkki", "petto": "pˈɛtto", "erba": "ˈɛrba",
     "tempo": "tˈɛmpo", "gente": "dʒˈɛnte", "niente": "njˈɛnte",
@@ -1345,6 +1352,9 @@ _PT_LEXICON = {
     "qualquer": "kwalkˈɛʁ", "homem": "ˈomẽj", "homens": "ˈomẽjʃ",
     "sol": "sˈɔl", "perna": "pˈɛɾnɐ", "pernas": "pˈɛɾnɐʃ",
     "velho": "vˈɛʎu", "velha": "vˈɛʎɐ", "velhos": "vˈɛʎuʃ",
+    "janela": "ʒanˈɛlɐ", "janelas": "ʒanˈɛlɐʃ",
+    "amarelo": "amaɾˈɛlu", "amarela": "amaɾˈɛlɐ",
+    "amarelos": "amaɾˈɛluʃ", "amarelas": "amaɾˈɛlɐʃ",
     "velhas": "vˈɛʎɐʃ", "jovem": "ʒˈɔvẽj", "jovens": "ʒˈɔvẽjʃ",
 }
 
